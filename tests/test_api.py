@@ -1,0 +1,132 @@
+"""API-surface tests: ASGLoss module semantics, default lengths, target
+clamping, reductions, forward_only, pytree behavior — the L4 front-end
+contract of the reference (zh217/torch-asg ``asg.py:100-142``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_asg_tpu import ASGLoss, asg_loss, asg_scores
+
+
+def _smoke_inputs(rng, T=6, B=2, S=5, N=7):
+    inputs = jnp.asarray(rng.normal(size=(T, B, N)))
+    targets = jnp.asarray(rng.integers(0, N, size=(B, S)))
+    input_lengths = jnp.asarray(rng.integers(S, T + 1, size=(B,)))
+    target_lengths = jnp.asarray(rng.integers(1, S + 1, size=(B,)))
+    return inputs, targets, input_lengths, target_lengths
+
+
+def test_readme_shape_smoke(rng):
+    # The reference README example (README.md:55-81): T=6, B=2, N=7, S=5,
+    # random lengths, forward + backward completes.
+    inputs, targets, li, lo = _smoke_inputs(rng)
+    crit = ASGLoss.create(7, reduction="mean", dtype=jnp.float64)
+    loss, (g_trans, g_inputs) = jax.value_and_grad(
+        lambda t, i: asg_loss(t, i, targets, li, lo, reduction="mean"), argnums=(0, 1)
+    )(crit.transition, inputs)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(g_trans)).all()
+    assert np.isfinite(np.asarray(g_inputs)).all()
+
+
+def test_default_lengths(rng):
+    inputs, targets, _, _ = _smoke_inputs(rng)
+    a = asg_loss(jnp.zeros((7, 7)), inputs, targets, reduction="none")
+    b = asg_loss(
+        jnp.zeros((7, 7)),
+        inputs,
+        targets,
+        jnp.array([6, 6]),
+        jnp.array([5, 5]),
+        reduction="none",
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+def test_target_clamp_when_longer_than_input(rng):
+    # S > T: the front-end clamps targets to length T (asg.py:119-122).
+    T, B, N = 3, 2, 5
+    inputs = jnp.asarray(rng.normal(size=(T, B, N)))
+    targets = jnp.asarray(rng.integers(0, N, size=(B, 6)))
+    loss = asg_loss(jnp.zeros((N, N)), inputs, targets, reduction="none")
+    ref = asg_loss(jnp.zeros((N, N)), inputs, targets[:, :T], reduction="none")
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(ref), rtol=1e-12)
+
+
+def test_unknown_reduction_raises(rng):
+    inputs, targets, li, lo = _smoke_inputs(rng)
+    with pytest.raises(ValueError):
+        asg_loss(jnp.zeros((7, 7)), inputs, targets, li, lo, reduction="median")
+
+
+def test_unknown_impl_raises(rng):
+    inputs, targets, li, lo = _smoke_inputs(rng)
+    with pytest.raises(ValueError):
+        asg_loss(jnp.zeros((7, 7)), inputs, targets, li, lo, impl="cuda")
+
+
+def test_module_is_pytree(rng):
+    crit = ASGLoss.create(4, dtype=jnp.float64)
+    leaves = jax.tree_util.tree_leaves(crit)
+    assert len(leaves) == 1 and leaves[0].shape == (4, 4)
+    # trainable through jax.grad over the module itself
+    inputs = jnp.asarray(rng.normal(size=(5, 2, 4)))
+    targets = jnp.asarray(rng.integers(0, 4, size=(2, 3)))
+
+    def loss_fn(crit):
+        return crit(inputs, targets)
+
+    g = jax.grad(loss_fn)(crit)
+    assert np.isfinite(np.asarray(g.transition)).all()
+
+
+def test_forward_only_blocks_grad(rng):
+    inputs = jnp.asarray(rng.normal(size=(5, 2, 4)))
+    targets = jnp.asarray(rng.integers(0, 4, size=(2, 3)))
+    crit = ASGLoss.create(4, forward_only=True, dtype=jnp.float64)
+    g = jax.grad(lambda c: c(inputs, targets))(crit)
+    assert np.all(np.asarray(g.transition) == 0.0)
+
+
+def test_asg_scores_pair(rng):
+    inputs, targets, li, lo = _smoke_inputs(rng)
+    trans = jnp.asarray(rng.uniform(size=(7, 7)))
+    full, aligned = asg_scores(trans, inputs, targets, li, lo)
+    loss = asg_loss(trans, inputs, targets, li, lo, reduction="none")
+    np.testing.assert_allclose(np.asarray(full - aligned), np.asarray(loss), rtol=1e-12)
+    # denominator dominates numerator: loss >= 0
+    assert np.all(np.asarray(loss) >= 0.0)
+
+
+def test_batch_independence(rng):
+    # Each batch element's loss must not depend on the others' padding —
+    # masking correctness (the reference got this via roll_to_end).
+    inputs, targets, li, lo = _smoke_inputs(rng)
+    trans = jnp.asarray(rng.uniform(size=(7, 7)))
+    loss = asg_loss(trans, inputs, targets, li, lo, reduction="none")
+    for b in range(inputs.shape[1]):
+        lb = asg_loss(
+            trans,
+            inputs[:, b : b + 1],
+            targets[b : b + 1],
+            li[b : b + 1],
+            lo[b : b + 1],
+            reduction="none",
+        )
+        np.testing.assert_allclose(float(lb[0]), float(loss[b]), rtol=1e-10)
+
+
+def test_padding_invariance(rng):
+    # Garbage in padded frames/targets must not change the loss.
+    inputs, targets, li, lo = _smoke_inputs(rng)
+    trans = jnp.asarray(rng.uniform(size=(7, 7)))
+    base = asg_loss(trans, inputs, targets, li, lo, reduction="none")
+    T, B, N = inputs.shape
+    tmask = jnp.arange(T)[:, None] < li[None, :]
+    smash = jnp.where(tmask[:, :, None], inputs, 1234.5)
+    smask = jnp.arange(targets.shape[1])[None, :] < lo[:, None]
+    targets2 = jnp.where(smask, targets, 3)
+    out = asg_loss(trans, smash, targets2, li, lo, reduction="none")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), rtol=1e-10)

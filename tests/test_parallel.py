@@ -1,0 +1,145 @@
+"""Multi-chip sharding tests on a virtual 8-device CPU mesh.
+
+Checks the data-parallel and vocabulary-sharded paths produce the same
+losses and gradients as the single-chip implementation (the capability the
+single-device reference never had; SURVEY.md section 2 parallelism table).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_asg_tpu import asg_loss
+from torch_asg_tpu.parallel import (
+    asg_loss_dp,
+    asg_loss_vp,
+    fcc_score_vp,
+    make_mesh,
+    shard_batch,
+)
+from torch_asg_tpu.ops.fcc import fcc_score
+
+
+@pytest.fixture(scope="module")
+def case():
+    r = np.random.default_rng(5)
+    T, B, S, N = 12, 8, 4, 16
+    return dict(
+        inputs=jnp.asarray(r.normal(size=(T, B, N))),
+        trans=jnp.asarray(r.normal(size=(N, N)) * 0.3),
+        targets=jnp.asarray(r.integers(0, N, size=(B, S))),
+        li=jnp.asarray(r.integers(S, T + 1, size=(B,))),
+        lo=jnp.asarray(r.integers(1, S + 1, size=(B,))),
+    )
+
+
+def test_mesh_helper():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == len(jax.devices())
+    mesh2 = make_mesh((4, 2), ("data", "model"))
+    assert mesh2.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh((3,), ("data",))
+
+
+def test_dp_matches_single_chip(case):
+    mesh = make_mesh()
+    ref = asg_loss(
+        case["trans"], case["inputs"], case["targets"], case["li"], case["lo"],
+        reduction="none",
+    )
+    inputs, targets, li, lo = shard_batch(
+        mesh, "data", case["inputs"], case["targets"], case["li"], case["lo"]
+    )
+    got = asg_loss_dp(
+        mesh, case["trans"], inputs, targets, li, lo, reduction="none"
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-12)
+
+    for reduction in ("mean", "sum"):
+        got_r = asg_loss_dp(
+            mesh, case["trans"], inputs, targets, li, lo, reduction=reduction
+        )
+        ref_r = asg_loss(
+            case["trans"], case["inputs"], case["targets"], case["li"],
+            case["lo"], reduction=reduction,
+        )
+        np.testing.assert_allclose(float(got_r), float(ref_r), rtol=1e-12)
+
+
+def test_dp_grads_psum(case):
+    mesh = make_mesh()
+
+    def dp_loss(trans, inputs):
+        return asg_loss_dp(
+            mesh, trans, inputs, case["targets"], case["li"], case["lo"],
+            reduction="sum",
+        )
+
+    def ref_loss(trans, inputs):
+        return asg_loss(
+            trans, inputs, case["targets"], case["li"], case["lo"],
+            reduction="sum",
+        )
+
+    g_dp = jax.grad(dp_loss, argnums=(0, 1))(case["trans"], case["inputs"])
+    g_ref = jax.grad(ref_loss, argnums=(0, 1))(case["trans"], case["inputs"])
+    np.testing.assert_allclose(np.asarray(g_dp[0]), np.asarray(g_ref[0]), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_dp[1]), np.asarray(g_ref[1]), rtol=1e-10)
+
+
+def test_vp_fcc_forward(case):
+    mesh = make_mesh(axis_names=("model",))
+    ref = fcc_score(case["trans"], case["inputs"], case["li"])
+    got = fcc_score_vp(mesh, case["trans"], case["inputs"], case["li"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10)
+
+
+def test_vp_asg_loss_and_grads(case):
+    mesh = make_mesh(axis_names=("model",))
+    ref = asg_loss(
+        case["trans"], case["inputs"], case["targets"], case["li"], case["lo"],
+        reduction="none",
+    )
+    got = asg_loss_vp(
+        mesh, case["trans"], case["inputs"], case["targets"], case["li"],
+        case["lo"], reduction="none",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10)
+
+    def vp_loss(trans, inputs):
+        return asg_loss_vp(
+            mesh, trans, inputs, case["targets"], case["li"], case["lo"],
+            reduction="sum",
+        )
+
+    def ref_loss(trans, inputs):
+        return asg_loss(
+            trans, inputs, case["targets"], case["li"], case["lo"],
+            reduction="sum",
+        )
+
+    g_vp = jax.grad(vp_loss, argnums=(0, 1))(case["trans"], case["inputs"])
+    g_ref = jax.grad(ref_loss, argnums=(0, 1))(case["trans"], case["inputs"])
+    np.testing.assert_allclose(
+        np.asarray(g_vp[0]), np.asarray(g_ref[0]), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_vp[1]), np.asarray(g_ref[1]), rtol=1e-9, atol=1e-12
+    )
+
+
+def test_vp_on_2d_mesh(case):
+    # The model axis of a composed 4x2 mesh: asg_loss_vp shards labels over
+    # 'model' (size 2) while staying replicated over 'data'.
+    mesh = make_mesh((4, 2), ("data", "model"))
+    ref = asg_loss(
+        case["trans"], case["inputs"], case["targets"], case["li"], case["lo"],
+        reduction="none",
+    )
+    got = asg_loss_vp(
+        mesh, case["trans"], case["inputs"], case["targets"], case["li"],
+        case["lo"], reduction="none",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10)

@@ -1,0 +1,154 @@
+"""Viterbi decoder / forced-alignment tests (tropical semiring).
+
+The decoder closes the reference's open roadmap item (README.md:33); the
+math is the max-semiring limit of the lattice recursions
+(doc/tech_report.tex:78-88).  Checked against an independent torch oracle
+and against brute-force path enumeration on tiny lattices.
+"""
+
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from torch_asg_tpu import viterbi_align, viterbi_decode
+
+from oracle import viterbi_oracle
+
+
+def _brute_force_decode(transition, inputs, L):
+    """Enumerate all label paths of length L; return best score and path."""
+    T, N = inputs.shape
+    best, best_path = -np.inf, None
+    for path in itertools.product(range(N), repeat=L):
+        s = inputs[0, path[0]]
+        for t in range(1, L):
+            s += transition[path[t], path[t - 1]] + inputs[t, path[t]]
+        if s > best:
+            best, best_path = s, path
+    return best, list(best_path)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_viterbi_decode_matches_oracle(seed):
+    r = np.random.default_rng(seed)
+    T, B, N = 7, 3, 5
+    inputs = r.normal(size=(T, B, N))
+    trans = r.normal(size=(N, N))
+    lengths = np.array([7, 4, 1])
+    res = viterbi_decode(jnp.asarray(trans), jnp.asarray(inputs), jnp.asarray(lengths))
+    want_scores, want_paths = viterbi_oracle(
+        torch.tensor(trans), torch.tensor(inputs), lengths
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.scores), want_scores.numpy(), rtol=1e-12
+    )
+    paths = np.asarray(res.paths)
+    for b in range(B):
+        L = lengths[b]
+        assert paths[:L, b].tolist() == want_paths[b]
+        assert (paths[L:, b] == -1).all()
+
+
+def test_viterbi_decode_brute_force():
+    r = np.random.default_rng(42)
+    T, N = 4, 3
+    inputs = r.normal(size=(T, 1, N))
+    trans = r.normal(size=(N, N))
+    res = viterbi_decode(jnp.asarray(trans), jnp.asarray(inputs))
+    want, want_path = _brute_force_decode(trans, inputs[:, 0], T)
+    np.testing.assert_allclose(float(res.scores[0]), want, rtol=1e-12)
+    assert np.asarray(res.paths)[:, 0].tolist() == want_path
+
+
+def _brute_force_align(transition, inputs, y, L):
+    """Enumerate monotonic alignments of targets y to L frames."""
+    S = len(y)
+    best, best_pos = -np.inf, None
+    # positions: nondecreasing, step <= 1, start at 0, end at S-1
+    def rec(t, s, score, pos):
+        nonlocal best, best_pos
+        score = score + inputs[t, y[s]]
+        pos = pos + [s]
+        if t == L - 1:
+            if s == S - 1 and score > best:
+                best, best_pos = score, pos
+            return
+        rec(t + 1, s, score + transition[y[s], y[s]], pos)
+        if s + 1 < S:
+            rec(t + 1, s + 1, score + transition[y[s + 1], y[s]], pos)
+
+    rec(0, 0, 0.0, [])
+    return best, best_pos
+
+
+def _align_path_score(transition, inputs, y, pos):
+    """Score of a given monotonic alignment path (for optimality checks)."""
+    s = inputs[0, y[pos[0]]]
+    for t in range(1, len(pos)):
+        cur, prev = pos[t], pos[t - 1]
+        s += transition[y[cur], y[prev]] + inputs[t, y[cur]]
+    return s
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_viterbi_align_brute_force(seed):
+    # Repeated labels in the targets make distinct alignments exactly
+    # tied, so check the returned path is *an* optimal valid alignment
+    # (same score as brute force) rather than one specific tie-break.
+    r = np.random.default_rng(seed)
+    T, N, S = 6, 4, 3
+    inputs = r.normal(size=(T, 1, N))
+    trans = r.normal(size=(N, N))
+    y = r.integers(0, N, size=(S,))
+    res = viterbi_align(
+        jnp.asarray(trans), jnp.asarray(inputs), jnp.asarray(y[None, :])
+    )
+    want, _ = _brute_force_align(trans, inputs[:, 0], y.tolist(), T)
+    np.testing.assert_allclose(float(res.scores[0]), want, rtol=1e-12)
+    pos = np.asarray(res.positions)[:, 0].tolist()
+    assert pos[0] == 0 and pos[-1] == S - 1
+    assert all(step in (0, 1) for step in np.diff(pos))
+    np.testing.assert_allclose(
+        _align_path_score(trans, inputs[:, 0], y.tolist(), pos), want, rtol=1e-12
+    )
+    assert np.asarray(res.labels)[:, 0].tolist() == [y[s] for s in pos]
+
+
+def test_viterbi_align_ragged():
+    r = np.random.default_rng(11)
+    T, B, N, S = 6, 2, 4, 3
+    inputs = r.normal(size=(T, B, N))
+    trans = r.normal(size=(N, N))
+    targets = r.integers(0, N, size=(B, S))
+    li = np.array([6, 4])
+    lo = np.array([3, 2])
+    res = viterbi_align(
+        jnp.asarray(trans),
+        jnp.asarray(inputs),
+        jnp.asarray(targets),
+        jnp.asarray(li),
+        jnp.asarray(lo),
+    )
+    for b in range(B):
+        y = targets[b, : lo[b]].tolist()
+        want, _ = _brute_force_align(trans, inputs[:, b], y, li[b])
+        np.testing.assert_allclose(float(res.scores[b]), want, rtol=1e-12)
+        pos = np.asarray(res.positions)[:, b]
+        valid = pos[: li[b]].tolist()
+        assert valid[0] == 0 and valid[-1] == lo[b] - 1
+        assert all(step in (0, 1) for step in np.diff(valid))
+        np.testing.assert_allclose(
+            _align_path_score(trans, inputs[:, b], y, valid), want, rtol=1e-12
+        )
+        assert (pos[li[b]:] == -1).all()
+    # alignment score is <= log-semiring aligned score (max <= logsumexp)
+    from torch_asg_tpu import fac_score
+
+    lse = fac_score(
+        jnp.asarray(trans), jnp.asarray(inputs), jnp.asarray(targets),
+        jnp.asarray(li), jnp.asarray(lo),
+    )
+    assert np.all(np.asarray(res.scores) <= np.asarray(lse) + 1e-9)

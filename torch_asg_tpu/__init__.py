@@ -1,0 +1,23 @@
+"""torch_asg_tpu: TPU-native Auto Segmentation Criterion (ASG) framework.
+
+A from-scratch JAX/XLA/Pallas implementation with the capabilities of
+zh217/torch-asg (PyTorch/C++/CUDA), redesigned TPU-first.  See README.md
+and SURVEY.md at the repo root.
+"""
+
+from .asg import ASGLoss, asg_loss, asg_scores
+from .ops.fac import fac_score
+from .ops.fcc import fcc_score
+from .ops.viterbi import viterbi_align, viterbi_decode
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ASGLoss",
+    "asg_loss",
+    "asg_scores",
+    "fcc_score",
+    "fac_score",
+    "viterbi_decode",
+    "viterbi_align",
+]

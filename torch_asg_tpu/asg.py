@@ -1,0 +1,176 @@
+"""ASG criterion: user-facing functional and module APIs.
+
+Loss per batch element:  L_b = S_full(b) - S_aligned(b)   (>= 0)
+where S_full is the fully-connected (denominator) log-partition score and
+S_aligned the force-aligned (numerator) score — see
+zh217/torch-asg ``torch_asg/asg.py:100-142`` and ``doc/tech_report.tex:282-292``
+for the behavior being matched.
+
+Differences from the reference, by design:
+  * There is no device/mode dispatch (``asg.py:124-136``): one jitted
+    function computes both lattices and XLA schedules the four independent
+    recursions; the ``forward_only`` fast path falls out of custom_vjp
+    (score-only calls never build alpha).  ``impl='scan' | 'pallas'``
+    selects the pure-jnp reference path (the parity oracle, analogous to
+    the reference's gpu_no_stream_impl debug switch) or the fused Pallas
+    kernels.
+  * The transition matrix is an explicit argument / pytree leaf rather
+    than module state, so the criterion composes with jit/grad/vmap/pjit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .ops.fac import fac_score
+from .ops.fcc import fcc_score
+from .utils.lengths import default_lengths
+
+REDUCTIONS = ("mean", "sum", "none")
+IMPLS = ("scan", "pallas", "auto")
+
+
+def _prep(inputs, targets, input_lengths, target_lengths):
+    t_total, num_batches, _ = inputs.shape
+    s_total = targets.shape[1]
+    if target_lengths is None:
+        target_lengths = jnp.full((num_batches,), s_total, dtype=jnp.int32)
+    if input_lengths is None:
+        input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
+    # Targets longer than the input can never be aligned; clamp like the
+    # reference front-end (``asg.py:119-122``).  Static-shape version: only
+    # applies when the padded S exceeds the padded T.
+    if s_total > t_total:
+        targets = targets[:, :t_total]
+        target_lengths = jnp.minimum(target_lengths, t_total)
+    return targets, input_lengths, target_lengths
+
+
+def _reduce(result: jnp.ndarray, reduction: str) -> jnp.ndarray:
+    if reduction == "sum":
+        return result.sum()
+    if reduction == "mean":
+        return result.mean()
+    if reduction == "none":
+        return result
+    raise ValueError(f"unknown reduction {reduction!r}; expected one of {REDUCTIONS}")
+
+
+def _resolve_impl(impl: str):
+    if impl in ("scan", "auto"):
+        return fcc_score, fac_score
+    if impl == "pallas":
+        from .ops.pallas import fac_score_pallas, fcc_score_pallas
+
+        return fcc_score_pallas, fac_score_pallas
+    raise ValueError(f"unknown impl {impl!r}; expected one of {IMPLS}")
+
+
+def asg_loss(
+    transition: jnp.ndarray,
+    inputs: jnp.ndarray,
+    targets: jnp.ndarray,
+    input_lengths: Optional[jnp.ndarray] = None,
+    target_lengths: Optional[jnp.ndarray] = None,
+    *,
+    reduction: str = "mean",
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """ASG loss.
+
+    Args:
+      transition: (N, N); ``transition[i, j]`` is the score from label j to
+        label i (learned; initialize to zeros).
+      inputs: (T, B, N) emission scores (unnormalized network outputs).
+      targets: (B, S) int labels.
+      input_lengths / target_lengths: (B,) ints; default = full length.
+      reduction: 'mean' | 'sum' | 'none'.
+      impl: 'scan' (pure-jnp lax.scan oracle) | 'pallas' (fused TPU
+        kernels) | 'auto'.
+    """
+    targets, input_lengths, target_lengths = _prep(
+        inputs, targets, input_lengths, target_lengths
+    )
+    fcc, fac = _resolve_impl(impl)
+    full = fcc(transition, inputs, input_lengths)
+    aligned = fac(transition, inputs, targets, input_lengths, target_lengths)
+    return _reduce(full - aligned, reduction)
+
+
+def asg_scores(
+    transition: jnp.ndarray,
+    inputs: jnp.ndarray,
+    targets: jnp.ndarray,
+    input_lengths: Optional[jnp.ndarray] = None,
+    target_lengths: Optional[jnp.ndarray] = None,
+    *,
+    impl: str = "auto",
+):
+    """(full_scores, aligned_scores) per batch element, shape (B,) each.
+
+    Mirrors the tuple the reference's streamed forward returns
+    (``streamlined_fast_gpu.cpp:227-229``); useful for lattice rescoring.
+    """
+    targets, input_lengths, target_lengths = _prep(
+        inputs, targets, input_lengths, target_lengths
+    )
+    fcc, fac = _resolve_impl(impl)
+    full = fcc(transition, inputs, input_lengths)
+    aligned = fac(transition, inputs, targets, input_lengths, target_lengths)
+    return full, aligned
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class ASGLoss:
+    """Module-style front-end holding the learned transition matrix.
+
+    A registered-dataclass pytree: ``loss = ASGLoss.create(num_labels)``;
+    ``loss(inputs, targets, ...)`` computes the loss; ``loss.transition``
+    is the trainable leaf (optimize it with optax alongside your model).
+    API shape matches the reference module (``asg.py:100-142``) minus the
+    GPU-dispatch knobs, which have no TPU analogue.
+    """
+
+    transition: jnp.ndarray
+    num_labels: int = field(metadata=dict(static=True), default=0)
+    reduction: str = field(metadata=dict(static=True), default="mean")
+    forward_only: bool = field(metadata=dict(static=True), default=False)
+    impl: str = field(metadata=dict(static=True), default="auto")
+
+    @classmethod
+    def create(
+        cls,
+        num_labels: int,
+        reduction: str = "mean",
+        forward_only: bool = False,
+        impl: str = "auto",
+        dtype=jnp.float32,
+    ) -> "ASGLoss":
+        if reduction not in REDUCTIONS:
+            raise ValueError(f"unknown reduction {reduction!r}")
+        return cls(
+            transition=jnp.zeros((num_labels, num_labels), dtype),
+            num_labels=num_labels,
+            reduction=reduction,
+            forward_only=forward_only,
+            impl=impl,
+        )
+
+    def __call__(self, inputs, targets, input_lengths=None, target_lengths=None):
+        out = asg_loss(
+            self.transition,
+            inputs,
+            targets,
+            input_lengths,
+            target_lengths,
+            reduction=self.reduction,
+            impl=self.impl,
+        )
+        if self.forward_only:
+            out = jax.lax.stop_gradient(out)
+        return out

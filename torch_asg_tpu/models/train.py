@@ -1,0 +1,119 @@
+"""End-to-end ASG training step: wav2letter encoder + ASG criterion.
+
+Functional train state (params pytree includes the criterion's learned
+transition matrix, the analogue of the reference's ``nn.Parameter``
+transition at ``asg.py:105``), optax optimizer, fully jittable, and
+shardable over a ('data', 'model') mesh: batch data-parallel, conv
+channels tensor-parallel, transition replicated with psum'd grads.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..asg import asg_loss
+from .wav2letter import Wav2Letter
+
+
+class TrainState(NamedTuple):
+    params: Any  # {'encoder': ..., 'transition': (N, N)}
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(
+    model: Wav2Letter,
+    rng: jax.Array,
+    feature_dim: int,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    example_time: int = 16,
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    from flax.core import meta
+
+    feats = jnp.zeros((1, example_time, feature_dim), jnp.float32)
+    variables = model.init(rng, feats)
+    params = {
+        # unbox the flax Partitioned metadata; sharding is applied via
+        # encoder_partition_specs + shard_train_state instead.
+        "encoder": meta.unbox(variables["params"]),
+        # zero-init, like the reference module (asg.py:105)
+        "transition": jnp.zeros((model.num_labels, model.num_labels), jnp.float32),
+    }
+    if optimizer is None:
+        optimizer = optax.adamw(3e-4)
+    opt_state = optimizer.init(params)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), optimizer
+
+
+def loss_fn(model: Wav2Letter, params, batch, impl: str = "auto"):
+    """batch: features (B,T,F), feat_lengths (B,), targets (B,S), target_lengths (B,)."""
+    emissions = model.apply({"params": params["encoder"]}, batch["features"])
+    input_lengths = model.output_length(batch["feature_lengths"]).astype(jnp.int32)
+    return asg_loss(
+        params["transition"],
+        emissions,
+        batch["targets"],
+        input_lengths,
+        batch["target_lengths"],
+        reduction="mean",
+        impl=impl,
+    )
+
+
+def make_train_step(model: Wav2Letter, optimizer, impl: str = "auto"):
+    def train_step(state: TrainState, batch):
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(model, p, batch, impl)
+        )(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+def encoder_partition_specs(model: Wav2Letter, feature_dim: int, example_time: int = 16):
+    """PartitionSpec tree for the encoder params (from flax metadata)."""
+    import flax.linen as nn
+
+    feats = jax.ShapeDtypeStruct((1, example_time, feature_dim), jnp.float32)
+    abs_vars = jax.eval_shape(model.init, jax.random.key(0), feats)
+    return nn.get_partition_spec(abs_vars)["params"]
+
+
+def param_shardings(mesh: Mesh, model: Wav2Letter, feature_dim: int):
+    """NamedSharding tree matching the TrainState.params structure.
+
+    Conv kernels land on the 'model' axis; everything else (including the
+    transition matrix) replicates.
+    """
+    enc_specs = encoder_partition_specs(model, feature_dim)
+    enc = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s if isinstance(s, P) else P()),
+        enc_specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    return {
+        "encoder": enc,
+        "transition": NamedSharding(mesh, P()),
+    }
+
+
+def shard_train_state(
+    mesh: Mesh, model: Wav2Letter, feature_dim: int, state: TrainState
+) -> TrainState:
+    """Place params on the mesh per their flax partitioning metadata."""
+    p_shard = param_shardings(mesh, model, feature_dim)
+    params = jax.device_put(state.params, p_shard)
+    repl = NamedSharding(mesh, P())
+    opt_state = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x,
+        state.opt_state,
+    )
+    return TrainState(params, opt_state, jax.device_put(state.step, repl))

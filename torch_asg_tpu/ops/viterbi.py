@@ -1,0 +1,156 @@
+"""Viterbi decoding and forced alignment in the tropical (max) semiring.
+
+The reference leaves "Viterbi decoder" as an unchecked roadmap item
+(zh217/torch-asg ``README.md:33``); its tech report sketches the math as
+the B -> inf limit of the generalized log semiring
+(``doc/tech_report.tex:78-88``).  Both decoders here reuse the ASG lattice
+recursions with max instead of logsumexp, plus an argmax backtrace:
+
+  * ``viterbi_decode``: best unconstrained label path through the
+    fully-connected lattice (the decoding counterpart of fcc_score).
+  * ``viterbi_align``: best monotonic alignment of the target sequence to
+    the frames (the segmentation that gives ASG its name; counterpart of
+    fac_score).
+
+Ragged lengths are masked exactly like the loss kernels; emitted paths use
+-1 at padding frames.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+from jax import lax
+
+from .fac import make_aligned, _shift_right_s
+from .semiring import NEG_INF
+from ..utils.lengths import mask_emissions
+
+
+class ViterbiResult(NamedTuple):
+    scores: jnp.ndarray  # (B,) best-path scores
+    paths: jnp.ndarray  # (T, B) int32 labels, -1 at padding frames
+
+
+class AlignmentResult(NamedTuple):
+    scores: jnp.ndarray  # (B,) best-alignment scores
+    positions: jnp.ndarray  # (T, B) int32 target positions s_t, -1 at padding
+    labels: jnp.ndarray  # (T, B) int32 aligned labels targets[b, s_t], -1 at padding
+
+
+def viterbi_decode(
+    transition: jnp.ndarray,
+    inputs: jnp.ndarray,
+    input_lengths: Optional[jnp.ndarray] = None,
+) -> ViterbiResult:
+    """Best label path per batch element.
+
+    transition: (N, N) [i, j] = score j -> i; inputs: (T, B, N).
+    """
+    t_total, num_batches, num_labels = inputs.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
+    inputs_m = mask_emissions(inputs, input_lengths)
+
+    def fstep(d_prev, i_t):
+        cand = transition[None, :, :] + d_prev[:, None, :]  # (B, to, from)
+        d = i_t + jnp.max(cand, axis=2)
+        bp = jnp.argmax(cand, axis=2).astype(jnp.int32)
+        return d, (d, bp)
+
+    d0 = inputs_m[0]
+    _, (d_rest, backptr) = lax.scan(fstep, d0, inputs_m[1:])
+    delta = jnp.concatenate([d0[None], d_rest], axis=0)  # (T, B, N)
+
+    # Read out at each utterance's true end t = L-1.
+    end_idx = (input_lengths - 1).astype(jnp.int32)
+    d_end = jnp.take_along_axis(
+        delta, end_idx[None, :, None].astype(jnp.int32), axis=0
+    )[0]  # (B, N)
+    scores = jnp.max(d_end, axis=1)
+    final_labels = jnp.argmax(d_end, axis=1).astype(jnp.int32)
+
+    # Backtrace with per-batch end masking: at t == L-1 reset to the final
+    # argmax; before it follow the backpointers; at padding emit -1.
+    pad = jnp.full((num_batches,), -1, jnp.int32)
+    lab_last = jnp.where(input_lengths - 1 == t_total - 1, final_labels, pad)
+
+    def bstep(lab_next, xs):
+        t, bp_t = xs  # bp_t maps label at t+1 -> label at t
+        prev = jnp.take_along_axis(
+            bp_t, jnp.clip(lab_next, 0)[:, None], axis=1
+        )[:, 0]
+        lab_t = jnp.where(
+            input_lengths - 1 == t,
+            final_labels,
+            jnp.where(t < input_lengths - 1, prev, pad),
+        )
+        return lab_t, lab_t
+
+    ts = jnp.arange(t_total - 2, -1, -1)
+    _, labs = lax.scan(bstep, lab_last, (ts, backptr[::-1]))
+    paths = jnp.concatenate([labs[::-1], lab_last[None]], axis=0)
+    return ViterbiResult(scores, paths)
+
+
+def viterbi_align(
+    transition: jnp.ndarray,
+    inputs: jnp.ndarray,
+    targets: jnp.ndarray,
+    input_lengths: Optional[jnp.ndarray] = None,
+    target_lengths: Optional[jnp.ndarray] = None,
+) -> AlignmentResult:
+    """Best monotonic target-to-frame alignment (segmentation) per batch."""
+    t_total, num_batches, _ = inputs.shape
+    s_total = targets.shape[1]
+    if target_lengths is None:
+        target_lengths = jnp.full((num_batches,), s_total, dtype=jnp.int32)
+    if input_lengths is None:
+        input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
+    lat = make_aligned(transition, inputs, targets, input_lengths, target_lengths)
+
+    d0 = jnp.full((num_batches, s_total), NEG_INF, lat.inputs.dtype)
+    d0 = d0.at[:, 0].set(lat.inputs[0, :, 0])
+
+    def fstep(d_prev, i_t):
+        stay = d_prev + lat.self_trans
+        move = _shift_right_s(d_prev + lat.next_trans)
+        d = i_t + jnp.maximum(stay, move)
+        advanced = move > stay  # True: came from s-1
+        return d, (d, advanced)
+
+    _, (d_rest, adv) = lax.scan(fstep, d0, lat.inputs[1:])
+    delta = jnp.concatenate([d0[None], d_rest], axis=0)
+
+    end_t = (input_lengths - 1).astype(jnp.int32)
+    end_s = (target_lengths - 1).astype(jnp.int32)
+    d_end = jnp.take_along_axis(delta, end_t[None, :, None], axis=0)[0]
+    scores = jnp.take_along_axis(d_end, end_s[:, None], axis=1)[:, 0]
+
+    pad = jnp.full((num_batches,), -1, jnp.int32)
+    pos_last = jnp.where(end_t == t_total - 1, end_s, pad)
+
+    def bstep(pos_next, xs):
+        t, adv_t = xs  # adv_t: (B, S) advance bit for the step into t+1
+        took = jnp.take_along_axis(adv_t, jnp.clip(pos_next, 0)[:, None], axis=1)[:, 0]
+        prev = jnp.clip(pos_next, 0) - took.astype(jnp.int32)
+        pos_t = jnp.where(
+            end_t == t, end_s, jnp.where(t < end_t, prev, pad)
+        )
+        return pos_t, pos_t
+
+    ts = jnp.arange(t_total - 2, -1, -1)
+    _, poss = lax.scan(bstep, pos_last, (ts, adv[::-1]))
+    positions = jnp.concatenate([poss[::-1], pos_last[None]], axis=0)
+
+    labels = jnp.where(
+        positions >= 0,
+        jnp.take_along_axis(
+            jnp.broadcast_to(lat.targets[None], (t_total,) + lat.targets.shape),
+            jnp.clip(positions, 0)[:, :, None],
+            axis=2,
+        )[:, :, 0],
+        -1,
+    ).astype(jnp.int32)
+    return AlignmentResult(scores, positions, labels)

@@ -1,0 +1,5 @@
+from .data_parallel import asg_loss_dp, shard_batch
+from .mesh import make_mesh
+from .vocab_parallel import asg_loss_vp, fcc_score_vp
+
+__all__ = ["make_mesh", "asg_loss_dp", "shard_batch", "asg_loss_vp", "fcc_score_vp"]

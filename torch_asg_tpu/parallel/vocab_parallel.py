@@ -1,0 +1,357 @@
+"""Vocabulary-sharded ASG for large label sets (e.g. 10k wordpieces).
+
+The (N, N) transition matrix is sharded by ROWS across the mesh's model
+axis; emissions are sharded along their label dim.  Per chip, the FCC
+recursions keep only an N/P-slice of alpha/beta and exchange boundary
+state over ICI each step:
+
+  * alpha step:  all_gather the (B, N/P) alpha shard -> contract local
+    transition rows over the full j axis.
+  * beta step:   contract the LOCAL j shard of (I+beta) against the same
+    row shard (rows are j there), then combine partial logsumexps across
+    chips with pmax + psum.
+  * grad(T) rows never leave their chip; grad(inputs) is local; the
+    posterior normalizer uses the identity sum_i exp(gamma[t,b,i]) =
+    exp(score_b), so the backward needs no extra collectives beyond the
+    per-step alpha all_gather it recomputes.
+
+The force-aligned lattice is only (B, S) — label-count independent — so it
+runs replicated on every chip after a psum-gather of the per-target
+transition entries; its scatters write each chip's local row/label shards.
+
+The reference has nothing comparable (single device, N<=~50); this is the
+BASELINE.json config-5 capability.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from ..ops.fac import (
+    AlignedLattice,
+    _alpha_scan as _fac_alpha_scan,
+    _beta_scan as _fac_beta_scan,
+    _score as _fac_score_readout,
+    _shift_left_s,
+    _shift_right_s,
+)
+from ..ops.semiring import NEG_INF, logsumexp, masked_softmax
+from ..utils.lengths import label_mask, mask_emissions, time_mask
+
+# ---------------------------------------------------------------------------
+# collective helpers (used inside shard_map)
+# ---------------------------------------------------------------------------
+
+
+def _lse_over_chips(partial_vals: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """Elementwise logsumexp across the mesh axis; -inf safe; replicated out."""
+    m = lax.pmax(partial_vals, axis)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    s = lax.psum(jnp.exp(partial_vals - m_safe), axis)
+    return jnp.where(jnp.isfinite(m), jnp.log(s) + m_safe, m)
+
+
+def _local_slice(full: jnp.ndarray, axis: str, shard_size: int, dim: int) -> jnp.ndarray:
+    """Slice this chip's shard out of a replicated array."""
+    p = lax.axis_index(axis)
+    return lax.dynamic_slice_in_dim(full, p * shard_size, shard_size, axis=dim)
+
+
+def _gather_transition_entries(
+    trans_rows: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray, axis: str
+) -> jnp.ndarray:
+    """T[rows, cols] from a row-sharded transition; replicated result."""
+    n_local = trans_rows.shape[0]
+    p = lax.axis_index(axis)
+    local_rows = rows - p * n_local
+    ok = (local_rows >= 0) & (local_rows < n_local)
+    vals = trans_rows[jnp.clip(local_rows, 0, n_local - 1), cols]
+    return lax.psum(jnp.where(ok, vals, 0.0), axis)
+
+
+# ---------------------------------------------------------------------------
+# FCC, vocabulary-sharded (runs inside shard_map)
+# ---------------------------------------------------------------------------
+
+
+def _alpha_scan_vp(trans_rows, inputs_m, axis):
+    """alpha shards (T, B, N/P); per-step all_gather of the alpha carry."""
+
+    def step(a_shard, i_t):
+        a_full = lax.all_gather(a_shard, axis, axis=1, tiled=True)  # (B, N)
+        pc = trans_rows[None, :, :] + a_full[:, None, :]  # (B, Np, N)
+        a = i_t + logsumexp(pc, axis=2)
+        return a, a
+
+    a0 = inputs_m[0]
+    _, rest = lax.scan(step, a0, inputs_m[1:])
+    return jnp.concatenate([a0[None], rest], axis=0)
+
+
+def _beta_scan_vp(trans_rows, inputs_m, input_lengths, axis):
+    """beta shards (T, B, N/P); per-step cross-chip partial-lse combine."""
+    t_total, num_batches, n_local = inputs_m.shape
+
+    b_last = jnp.where(
+        (input_lengths == t_total)[:, None],
+        jnp.zeros((num_batches, n_local), inputs_m.dtype),
+        NEG_INF,
+    )
+
+    def step(b_shard, xs):
+        t, i_next = xs
+        x = i_next + b_shard  # (B, Np) local j
+        # partial over local j for ALL destination labels i:
+        partial = logsumexp(trans_rows[None, :, :] + x[:, :, None], axis=1)
+        b_full = _lse_over_chips(partial, axis)  # (B, N) replicated
+        raw = _local_slice(b_full, axis, n_local, dim=1)
+        b_t = jnp.where((input_lengths - 1 == t)[:, None], jnp.zeros_like(raw), raw)
+        return b_t, b_t
+
+    ts = jnp.arange(t_total - 2, -1, -1)
+    _, rest = lax.scan(step, b_last, (ts, inputs_m[1:][::-1]))
+    return jnp.concatenate([rest[::-1], b_last[None]], axis=0)
+
+
+def _fcc_fwd_vp(trans_rows, inputs_m, input_lengths, axis):
+    alpha = _alpha_scan_vp(trans_rows, inputs_m, axis)
+    beta = _beta_scan_vp(trans_rows, inputs_m, input_lengths, axis)
+    partial = logsumexp(beta[0] + inputs_m[0], axis=1)  # local i
+    score = _lse_over_chips(partial, axis)  # (B,) replicated
+    return score, alpha, beta
+
+
+def _fcc_bwd_vp(trans_rows, inputs_m, alpha, beta, score, g, axis):
+    # posterior via the forward-backward identity: sum_i exp(gamma) = exp(score)
+    gamma = alpha + beta
+    grad_inputs = jnp.exp(gamma - score[None, :, None]) * g[None, :, None]
+
+    def step(acc, xs):
+        a_prev_shard, a_cur, i_cur, gi = xs
+        a_prev = lax.all_gather(a_prev_shard, axis, axis=1, tiled=True)  # (B, N)
+        sub = jnp.where(jnp.isfinite(a_cur), i_cur - a_cur, NEG_INF)  # (B, Np)
+        expo = trans_rows[None, :, :] + a_prev[:, None, :] + sub[:, :, None]
+        acc = acc + jnp.einsum("bi,bij->ij", gi, jnp.exp(expo))
+        return acc, None
+
+    acc0 = jnp.zeros_like(trans_rows)
+    grad_trans_rows, _ = lax.scan(
+        step, acc0, (alpha[:-1], alpha[1:], inputs_m[1:], grad_inputs[1:])
+    )
+    return grad_trans_rows, grad_inputs
+
+
+# ---------------------------------------------------------------------------
+# FAC, vocabulary-sharded (lattice replicated; gathers/scatters sharded)
+# ---------------------------------------------------------------------------
+
+
+def _fac_gather_vp(trans_rows, inputs_shard, targets, input_lengths, target_lengths, axis):
+    t_total, num_batches, n_local = inputs_shard.shape
+    s_total = targets.shape[1]
+    num_labels = trans_rows.shape[1]
+    tgt = jnp.clip(targets, 0, num_labels - 1)
+
+    # aligned emissions from the label-sharded inputs: psum-gather
+    p = lax.axis_index(axis)
+    local_tgt = tgt - p * n_local
+    ok = (local_tgt >= 0) & (local_tgt < n_local)  # (B, S)
+    idx = jnp.broadcast_to(
+        jnp.clip(local_tgt, 0, n_local - 1)[None], (t_total, num_batches, s_total)
+    )
+    vals = jnp.take_along_axis(inputs_shard, idx, axis=2)
+    aligned = lax.psum(jnp.where(ok[None], vals, 0.0), axis)
+    tmask = time_mask(t_total, input_lengths)
+    smask = label_mask(s_total, target_lengths)
+    aligned = jnp.where(tmask[:, :, None] & smask[None], aligned, NEG_INF)
+
+    self_trans = _gather_transition_entries(trans_rows, tgt, tgt, axis)
+    self_trans = jnp.where(smask, self_trans, 0.0)
+    next_pairs = _gather_transition_entries(
+        trans_rows, tgt[:, 1:], tgt[:, :-1], axis
+    )
+    next_trans = jnp.concatenate(
+        [next_pairs, jnp.zeros((num_batches, 1), next_pairs.dtype)], axis=1
+    )
+    smask_next = (
+        jnp.arange(s_total, dtype=target_lengths.dtype)[None, :]
+        < (target_lengths - 1)[:, None]
+    )
+    next_trans = jnp.where(smask_next, next_trans, 0.0)
+    return AlignedLattice(aligned, self_trans, next_trans, tgt), ok
+
+
+def _scatter_trans_rows(trans_rows_shape, targets, ok_rows, cols, vals, axis):
+    """Scatter-add vals at (rows=targets local, cols) into a row shard."""
+    n_local, num_labels = trans_rows_shape
+    p = lax.axis_index(axis)
+    local_rows = targets - p * n_local
+    in_shard = (local_rows >= 0) & (local_rows < n_local) & ok_rows
+    r = jnp.clip(local_rows, 0, n_local - 1)
+    out = jnp.zeros(trans_rows_shape, vals.dtype)
+    return out.at[r, cols].add(jnp.where(in_shard, vals, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# public entry points
+# ---------------------------------------------------------------------------
+
+_VP_CACHE = {}
+
+
+def _get_asg_vp(axis: str):
+    """Build (and cache) the custom_vjp'd per-shard ASG function for an axis."""
+    if axis in _VP_CACHE:
+        return _VP_CACHE[axis]
+
+    @jax.custom_vjp
+    def asg_vp(trans_rows, inputs_shard, targets, input_lengths, target_lengths):
+        inputs_m = mask_emissions(inputs_shard, input_lengths)
+        beta = _beta_scan_vp(trans_rows, inputs_m, input_lengths, axis)
+        partial = logsumexp(beta[0] + inputs_m[0], axis=1)
+        full = _lse_over_chips(partial, axis)
+        lat, _ = _fac_gather_vp(
+            trans_rows, inputs_shard, targets, input_lengths, target_lengths, axis
+        )
+        beta_a = _fac_beta_scan(lat, input_lengths, target_lengths)
+        aligned = _fac_score_readout(beta_a[0], lat.inputs[0])
+        return full - aligned
+
+    def fwd(trans_rows, inputs_shard, targets, input_lengths, target_lengths):
+        inputs_m = mask_emissions(inputs_shard, input_lengths)
+        full, alpha, beta = _fcc_fwd_vp(trans_rows, inputs_m, input_lengths, axis)
+        lat, ok = _fac_gather_vp(
+            trans_rows, inputs_shard, targets, input_lengths, target_lengths, axis
+        )
+        alpha_a = _fac_alpha_scan(lat)
+        beta_a = _fac_beta_scan(lat, input_lengths, target_lengths)
+        aligned = _fac_score_readout(beta_a[0], lat.inputs[0])
+        res = (trans_rows, inputs_m, alpha, beta, full, lat, ok, alpha_a, beta_a)
+        return full - aligned, res
+
+    def bwd(res, g):
+        trans_rows, inputs_m, alpha, beta, full, lat, ok, alpha_a, beta_a = res
+        n_local = trans_rows.shape[0]
+
+        # denominator part (+g)
+        gt_rows, gi = _fcc_bwd_vp(trans_rows, inputs_m, alpha, beta, full, g, axis)
+
+        # numerator part (-g), aligned domain (replicated math)
+        t_total = lat.inputs.shape[0]
+        num_batches, s_total = lat.self_trans.shape
+        gamma = alpha_a + beta_a
+        g_aligned = masked_softmax(gamma, axis=2) * (-g)[None, :, None]
+        sub = jnp.where(jnp.isfinite(alpha_a), lat.inputs - alpha_a, NEG_INF)
+        hori = jnp.exp(alpha_a[:-1] + lat.self_trans[None] + sub[1:])
+        diag = jnp.exp(_shift_right_s(alpha_a[:-1] + lat.next_trans[None]) + sub[1:])
+        gi_tail = g_aligned[1:]
+        edge_self = jnp.concatenate(
+            [jnp.ones_like(hori[:, :, :1]), hori[:, :, 1:]], axis=2
+        )
+        g_self = jnp.sum(gi_tail * edge_self, axis=0)
+        g_next = _shift_left_s(jnp.sum(gi_tail * diag, axis=0), fill=0.0)
+
+        # scatter numerator emission grads into the local label shard
+        p = lax.axis_index(axis)
+        local_tgt = lat.targets - p * n_local
+        in_shard = (local_tgt >= 0) & (local_tgt < n_local)
+        r = jnp.clip(local_tgt, 0, n_local - 1)
+        t_idx = jnp.broadcast_to(jnp.arange(t_total)[:, None, None], g_aligned.shape)
+        b_idx = jnp.broadcast_to(
+            jnp.arange(num_batches)[None, :, None], g_aligned.shape
+        )
+        n_idx = jnp.broadcast_to(r[None], g_aligned.shape)
+        gi = gi.at[t_idx, b_idx, n_idx].add(jnp.where(in_shard[None], g_aligned, 0.0))
+
+        # scatter numerator transition grads into the local row shard
+        smask_ok = jnp.ones_like(in_shard)
+        gt_rows = gt_rows + _scatter_trans_rows(
+            trans_rows.shape, lat.targets, smask_ok, lat.targets, g_self, axis
+        )
+        gt_rows = gt_rows + _scatter_trans_rows(
+            trans_rows.shape,
+            lat.targets[:, 1:],
+            jnp.ones_like(in_shard[:, 1:]),
+            lat.targets[:, :-1],
+            g_next[:, :-1],
+            axis,
+        )
+        return gt_rows, gi, None, None, None
+
+    asg_vp.defvjp(fwd, bwd)
+    _VP_CACHE[axis] = asg_vp
+    return asg_vp
+
+
+def asg_loss_vp(
+    mesh: Mesh,
+    transition: jnp.ndarray,
+    inputs: jnp.ndarray,
+    targets: jnp.ndarray,
+    input_lengths: Optional[jnp.ndarray] = None,
+    target_lengths: Optional[jnp.ndarray] = None,
+    *,
+    axis: str = "model",
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """ASG loss with the vocabulary sharded over ``mesh[axis]``.
+
+    transition rows and the emission label dim live sharded; per-batch
+    results are bitwise identical on every chip.
+    """
+    t_total, num_batches, num_labels = inputs.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
+    if target_lengths is None:
+        target_lengths = jnp.full((num_batches,), targets.shape[1], dtype=jnp.int32)
+    if num_labels % mesh.shape[axis] != 0:
+        raise ValueError(
+            f"num_labels {num_labels} not divisible by mesh axis "
+            f"{axis!r} = {mesh.shape[axis]}"
+        )
+    fn = _get_asg_vp(axis)
+    per_batch = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None, None, axis), P(), P(), P()),
+        out_specs=P(),
+    )(transition, inputs, targets, input_lengths, target_lengths)
+    if reduction == "sum":
+        return per_batch.sum()
+    if reduction == "mean":
+        return per_batch.mean()
+    return per_batch
+
+
+def fcc_score_vp(
+    mesh: Mesh,
+    transition: jnp.ndarray,
+    inputs: jnp.ndarray,
+    input_lengths: Optional[jnp.ndarray] = None,
+    *,
+    axis: str = "model",
+) -> jnp.ndarray:
+    """Vocabulary-sharded denominator scores (forward only), shape (B,)."""
+    t_total, num_batches, num_labels = inputs.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
+
+    def score_fn(trans_rows, inputs_shard, lengths):
+        inputs_m = mask_emissions(inputs_shard, lengths)
+        beta = _beta_scan_vp(trans_rows, inputs_m, lengths, axis)
+        partial = logsumexp(beta[0] + inputs_m[0], axis=1)
+        return _lse_over_chips(partial, axis)
+
+    return jax.shard_map(
+        score_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None, None, axis), P()),
+        out_specs=P(),
+    )(transition, inputs, input_lengths)
