@@ -79,6 +79,7 @@ def asg_loss(
     *,
     reduction: str = "mean",
     impl: str = "auto",
+    temperature: float = 1.0,
 ) -> jnp.ndarray:
     """ASG loss.
 
@@ -91,14 +92,28 @@ def asg_loss(
       reduction: 'mean' | 'sum' | 'none'.
       impl: 'scan' (pure-jnp lax.scan oracle) | 'pallas' (fused TPU
         kernels) | 'auto'.
+      temperature: generalized-semiring temperature tau (the base-B
+        sum with log B = 1/tau from the reference's tech report
+        ``doc/tech_report.tex:78-88``): loss_tau = tau * loss(T/tau, I/tau).
+        tau = 1 is the standard log semiring; tau -> 0 approaches the
+        tropical (Viterbi) semiring.
     """
     targets, input_lengths, target_lengths = _prep(
         inputs, targets, input_lengths, target_lengths
     )
+    if temperature <= 0.0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
     fcc, fac = _resolve_impl(impl)
+    if temperature != 1.0:
+        inv = 1.0 / temperature
+        transition = transition * inv
+        inputs = inputs * inv
     full = fcc(transition, inputs, input_lengths)
     aligned = fac(transition, inputs, targets, input_lengths, target_lengths)
-    return _reduce(full - aligned, reduction)
+    out = full - aligned
+    if temperature != 1.0:
+        out = out * temperature
+    return _reduce(out, reduction)
 
 
 def asg_scores(

@@ -14,10 +14,10 @@ backward :321-356) and its CUDA twins in ``force_aligned_lattice_kernel.cu``.
 
 TPU-first design decisions
   * The CPU/CUDA gather kernels (make_aligned_inputs/transition) become a
-    single vectorized ``take_along_axis`` + fancy-index gather with -inf /
-    zero masking; the scatter kernels (collect_input/transition_grad, which
-    need atomicAdd on GPU) become XLA ``.at[].add`` scatters, which are
-    deterministic for free.
+    one-hot batched matmul on the MXU (indexed gathers serialize on TPU);
+    the big scatter kernel (collect_input_grad, which needs atomicAdd on
+    GPU) is the transposed matmul, and the small transition scatter is an
+    XLA ``.at[].add`` — all deterministic for free.
   * Ragged input/target lengths are masked, never rolled: the beta seed
     lives at ``(t, s) = (L_in[b]-1, L_out[b]-1)`` via jnp.where.
   * The reference's cumsum vectorization of the bottom alpha row / last
@@ -52,6 +52,7 @@ class AlignedLattice(NamedTuple):
     self_trans: jnp.ndarray  # (B, S); T[y_s, y_s], 0 where s >= L_out[b]
     next_trans: jnp.ndarray  # (B, S); T[y_{s+1}, y_s], 0 where s >= L_out[b]-1
     targets: jnp.ndarray  # (B, S) clipped into [0, N)
+    onehot: jnp.ndarray = None  # (B, S, N) one-hot of targets (0 where s invalid)
 
 
 def make_aligned(
@@ -61,16 +62,34 @@ def make_aligned(
     input_lengths: jnp.ndarray,
     target_lengths: jnp.ndarray,
 ) -> AlignedLattice:
-    """Vectorized equivalent of the reference's gather kernels (C10a/C10b)."""
+    """Vectorized equivalent of the reference's gather kernels (C10a/C10b).
+
+    The emission gather I~[t,b,s] = I[t,b,y_s] runs as a one-hot batched
+    matmul (MXU) rather than an indexed gather: TPU gathers with
+    per-element index vectors serialize and are ~10x slower than the whole
+    lattice recursion at the benchmark shape.  -inf emissions (legal in
+    the log semiring, e.g. log-prob one-hots) are sanitized before the
+    matmul (-inf x 0 = NaN) and restored via an indicator matmul.
+    """
     t_total, num_batches, num_labels = inputs.shape
     s_total = targets.shape[1]
     tgt = jnp.clip(targets, 0, num_labels - 1)
 
-    idx = jnp.broadcast_to(tgt[None, :, :], (t_total, num_batches, s_total))
-    aligned = jnp.take_along_axis(inputs, idx, axis=2)
     tmask = time_mask(t_total, input_lengths)  # (T, B)
     smask = label_mask(s_total, target_lengths)  # (B, S)
-    aligned = jnp.where(tmask[:, :, None] & smask[None, :, :], aligned, NEG_INF)
+    onehot = jax.nn.one_hot(tgt, num_labels, dtype=inputs.dtype)  # (B, S, N)
+    onehot = onehot * smask[:, :, None].astype(inputs.dtype)
+    finite = jnp.isfinite(inputs)
+    safe_inputs = jnp.where(finite, inputs, 0.0)
+    aligned = jnp.einsum(
+        "tbi,bsi->tbs", safe_inputs, onehot, precision=jax.lax.Precision.HIGHEST
+    )
+    nonfin = jnp.einsum(
+        "tbi,bsi->tbs", (~finite).astype(inputs.dtype), onehot,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    valid = tmask[:, :, None] & smask[None, :, :] & (nonfin < 0.5)
+    aligned = jnp.where(valid, aligned, NEG_INF)
 
     self_trans = transition[tgt, tgt]  # (B, S)
     self_trans = jnp.where(smask, self_trans, 0.0)
@@ -83,7 +102,7 @@ def make_aligned(
         < (target_lengths - 1)[:, None]
     )
     next_trans = jnp.where(smask_next, next_trans, 0.0)
-    return AlignedLattice(aligned, self_trans, next_trans, tgt)
+    return AlignedLattice(aligned, self_trans, next_trans, tgt, onehot)
 
 
 def _shift_right_s(x: jnp.ndarray, fill: float = NEG_INF) -> jnp.ndarray:
@@ -204,17 +223,16 @@ def scatter_to_full(
 ):
     """Scatter aligned-domain grads to (T,B,N) / (N,N) — the C10c/C10d
     equivalents.  Masked-out cells already carry exact zeros so the
-    scatters are unconditional; XLA scatter-add is deterministic (the
+    scatters are unconditional; everything is deterministic (the
     reference's CUDA twin needs atomicAdd,
-    ``force_aligned_lattice_kernel.cu:291,297,418``)."""
-    t_total, num_batches, _ = g_aligned.shape
-    t_idx = jnp.broadcast_to(
-        jnp.arange(t_total)[:, None, None], g_aligned.shape
+    ``force_aligned_lattice_kernel.cu:291,297,418``).  The big (T,B,S)->
+    (T,B,N) emission-grad scatter runs as the transpose of the one-hot
+    gather matmul (MXU) — a TPU scatter here costs more than the whole
+    lattice recursion.  The (N,N) transition scatters stay as scatter-adds
+    (only B*S updates)."""
+    grad_inputs = jnp.einsum(
+        "tbs,bsi->tbi", g_aligned, lat.onehot, precision=jax.lax.Precision.HIGHEST
     )
-    b_idx = jnp.broadcast_to(jnp.arange(num_batches)[None, :, None], g_aligned.shape)
-    n_idx = jnp.broadcast_to(lat.targets[None, :, :], g_aligned.shape)
-    grad_inputs = jnp.zeros((t_total, num_batches, num_labels), g_aligned.dtype)
-    grad_inputs = grad_inputs.at[t_idx, b_idx, n_idx].add(g_aligned)
 
     grad_transition = jnp.zeros((num_labels, num_labels), g_aligned.dtype)
     grad_transition = grad_transition.at[lat.targets, lat.targets].add(g_self_trans)

@@ -138,7 +138,9 @@ def _fcc_bwd_vp(trans_rows, inputs_m, alpha, beta, score, g, axis):
         a_prev = lax.all_gather(a_prev_shard, axis, axis=1, tiled=True)  # (B, N)
         sub = jnp.where(jnp.isfinite(a_cur), i_cur - a_cur, NEG_INF)  # (B, Np)
         expo = trans_rows[None, :, :] + a_prev[:, None, :] + sub[:, :, None]
-        acc = acc + jnp.einsum("bi,bij->ij", gi, jnp.exp(expo))
+        acc = acc + jnp.einsum(
+            "bi,bij->ij", gi, jnp.exp(expo), precision=jax.lax.Precision.HIGHEST
+        )
         return acc, None
 
     acc0 = jnp.zeros_like(trans_rows)
@@ -159,18 +161,34 @@ def _fac_gather_vp(trans_rows, inputs_shard, targets, input_lengths, target_leng
     num_labels = trans_rows.shape[1]
     tgt = jnp.clip(targets, 0, num_labels - 1)
 
-    # aligned emissions from the label-sharded inputs: psum-gather
+    # aligned emissions from the label-sharded inputs: local one-hot
+    # matmul (indexed gathers serialize on TPU) + psum
     p = lax.axis_index(axis)
     local_tgt = tgt - p * n_local
     ok = (local_tgt >= 0) & (local_tgt < n_local)  # (B, S)
-    idx = jnp.broadcast_to(
-        jnp.clip(local_tgt, 0, n_local - 1)[None], (t_total, num_batches, s_total)
+    local_onehot = jax.nn.one_hot(
+        jnp.clip(local_tgt, 0, n_local - 1), n_local, dtype=inputs_shard.dtype
+    ) * ok[:, :, None].astype(inputs_shard.dtype)  # (B, S, Np)
+    finite = jnp.isfinite(inputs_shard)
+    safe_inputs = jnp.where(finite, inputs_shard, 0.0)
+    aligned = lax.psum(
+        jnp.einsum(
+            "tbi,bsi->tbs", safe_inputs, local_onehot,
+            precision=jax.lax.Precision.HIGHEST,
+        ),
+        axis,
     )
-    vals = jnp.take_along_axis(inputs_shard, idx, axis=2)
-    aligned = lax.psum(jnp.where(ok[None], vals, 0.0), axis)
+    nonfin = lax.psum(
+        jnp.einsum(
+            "tbi,bsi->tbs", (~finite).astype(inputs_shard.dtype), local_onehot,
+            precision=jax.lax.Precision.HIGHEST,
+        ),
+        axis,
+    )
     tmask = time_mask(t_total, input_lengths)
     smask = label_mask(s_total, target_lengths)
-    aligned = jnp.where(tmask[:, :, None] & smask[None], aligned, NEG_INF)
+    valid = tmask[:, :, None] & smask[None] & (nonfin < 0.5)
+    aligned = jnp.where(valid, aligned, NEG_INF)
 
     self_trans = _gather_transition_entries(trans_rows, tgt, tgt, axis)
     self_trans = jnp.where(smask, self_trans, 0.0)
@@ -206,51 +224,70 @@ def _scatter_trans_rows(trans_rows_shape, targets, ok_rows, cols, vals, axis):
 _VP_CACHE = {}
 
 
-def _get_asg_vp(axis: str):
-    """Build (and cache) the custom_vjp'd per-shard ASG function for an axis."""
-    if axis in _VP_CACHE:
-        return _VP_CACHE[axis]
+def _get_asg_vp(mesh: Mesh, axis: str):
+    """Build (and cache) the vocabulary-sharded ASG loss for (mesh, axis).
 
-    @jax.custom_vjp
-    def asg_vp(trans_rows, inputs_shard, targets, input_lengths, target_lengths):
-        inputs_m = mask_emissions(inputs_shard, input_lengths)
-        beta = _beta_scan_vp(trans_rows, inputs_m, input_lengths, axis)
+    custom_vjp sits OUTSIDE shard_map: primal/fwd/bwd are each their own
+    shard_map over local functions, with residuals crossing the boundary
+    as explicitly sharded global arrays.  This keeps the cotangent flow
+    fully under our control (the transpose of a replicated shard_map
+    output would otherwise split g across devices).
+    """
+    key = (mesh, axis)
+    if key in _VP_CACHE:
+        return _VP_CACHE[key]
+
+    spec_t = P(axis, None)  # transition rows
+    spec_i = P(None, None, axis)  # (T, B, N) label-sharded
+    rep = P()
+
+    def smap(fn, in_specs, out_specs):
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+
+    def primal_local(trans_rows, inputs_shard, targets, li, lo):
+        inputs_m = mask_emissions(inputs_shard, li)
+        beta = _beta_scan_vp(trans_rows, inputs_m, li, axis)
         partial = logsumexp(beta[0] + inputs_m[0], axis=1)
         full = _lse_over_chips(partial, axis)
-        lat, _ = _fac_gather_vp(
-            trans_rows, inputs_shard, targets, input_lengths, target_lengths, axis
-        )
-        beta_a = _fac_beta_scan(lat, input_lengths, target_lengths)
+        lat, _ = _fac_gather_vp(trans_rows, inputs_shard, targets, li, lo, axis)
+        beta_a = _fac_beta_scan(lat, li, lo)
         aligned = _fac_score_readout(beta_a[0], lat.inputs[0])
         return full - aligned
 
-    def fwd(trans_rows, inputs_shard, targets, input_lengths, target_lengths):
-        inputs_m = mask_emissions(inputs_shard, input_lengths)
-        full, alpha, beta = _fcc_fwd_vp(trans_rows, inputs_m, input_lengths, axis)
-        lat, ok = _fac_gather_vp(
-            trans_rows, inputs_shard, targets, input_lengths, target_lengths, axis
-        )
+    def fwd_local(trans_rows, inputs_shard, targets, li, lo):
+        inputs_m = mask_emissions(inputs_shard, li)
+        full, alpha, beta = _fcc_fwd_vp(trans_rows, inputs_m, li, axis)
+        lat, _ = _fac_gather_vp(trans_rows, inputs_shard, targets, li, lo, axis)
         alpha_a = _fac_alpha_scan(lat)
-        beta_a = _fac_beta_scan(lat, input_lengths, target_lengths)
+        beta_a = _fac_beta_scan(lat, li, lo)
         aligned = _fac_score_readout(beta_a[0], lat.inputs[0])
-        res = (trans_rows, inputs_m, alpha, beta, full, lat, ok, alpha_a, beta_a)
-        return full - aligned, res
+        return (
+            full - aligned, full, alpha, beta,
+            lat.inputs, lat.self_trans, lat.next_trans, lat.targets,
+            alpha_a, beta_a,
+        )
 
-    def bwd(res, g):
-        trans_rows, inputs_m, alpha, beta, full, lat, ok, alpha_a, beta_a = res
+    def bwd_local(
+        trans_rows, inputs_shard, li,
+        full, alpha, beta, ali, self_t, next_t, tgt, alpha_a, beta_a, g,
+    ):
         n_local = trans_rows.shape[0]
+        inputs_m = mask_emissions(inputs_shard, li)
 
         # denominator part (+g)
         gt_rows, gi = _fcc_bwd_vp(trans_rows, inputs_m, alpha, beta, full, g, axis)
 
         # numerator part (-g), aligned domain (replicated math)
-        t_total = lat.inputs.shape[0]
-        num_batches, s_total = lat.self_trans.shape
-        gamma = alpha_a + beta_a
-        g_aligned = masked_softmax(gamma, axis=2) * (-g)[None, :, None]
-        sub = jnp.where(jnp.isfinite(alpha_a), lat.inputs - alpha_a, NEG_INF)
-        hori = jnp.exp(alpha_a[:-1] + lat.self_trans[None] + sub[1:])
-        diag = jnp.exp(_shift_right_s(alpha_a[:-1] + lat.next_trans[None]) + sub[1:])
+        lat = AlignedLattice(ali, self_t, next_t, tgt)
+        t_total = ali.shape[0]
+        num_batches = self_t.shape[0]
+        g_aligned = masked_softmax(alpha_a + beta_a, axis=2) * (-g)[None, :, None]
+        sub = jnp.where(jnp.isfinite(alpha_a), ali - alpha_a, NEG_INF)
+        hori = jnp.exp(alpha_a[:-1] + self_t[None] + sub[1:])
+        diag = jnp.exp(_shift_right_s(alpha_a[:-1] + next_t[None]) + sub[1:])
         gi_tail = g_aligned[1:]
         edge_self = jnp.concatenate(
             [jnp.ones_like(hori[:, :, :1]), hori[:, :, 1:]], axis=2
@@ -258,35 +295,65 @@ def _get_asg_vp(axis: str):
         g_self = jnp.sum(gi_tail * edge_self, axis=0)
         g_next = _shift_left_s(jnp.sum(gi_tail * diag, axis=0), fill=0.0)
 
-        # scatter numerator emission grads into the local label shard
+        # numerator emission grads into the local label shard: transposed
+        # one-hot matmul (a (T,B,S) scatter would serialize on TPU)
         p = lax.axis_index(axis)
-        local_tgt = lat.targets - p * n_local
+        local_tgt = tgt - p * n_local
         in_shard = (local_tgt >= 0) & (local_tgt < n_local)
-        r = jnp.clip(local_tgt, 0, n_local - 1)
-        t_idx = jnp.broadcast_to(jnp.arange(t_total)[:, None, None], g_aligned.shape)
-        b_idx = jnp.broadcast_to(
-            jnp.arange(num_batches)[None, :, None], g_aligned.shape
+        local_onehot = jax.nn.one_hot(
+            jnp.clip(local_tgt, 0, n_local - 1), n_local, dtype=gi.dtype
+        ) * in_shard[:, :, None].astype(gi.dtype)
+        gi = gi + jnp.einsum(
+            "tbs,bsi->tbi", g_aligned, local_onehot,
+            precision=jax.lax.Precision.HIGHEST,
         )
-        n_idx = jnp.broadcast_to(r[None], g_aligned.shape)
-        gi = gi.at[t_idx, b_idx, n_idx].add(jnp.where(in_shard[None], g_aligned, 0.0))
 
         # scatter numerator transition grads into the local row shard
-        smask_ok = jnp.ones_like(in_shard)
+        ones = jnp.ones_like(in_shard)
         gt_rows = gt_rows + _scatter_trans_rows(
-            trans_rows.shape, lat.targets, smask_ok, lat.targets, g_self, axis
+            trans_rows.shape, tgt, ones, tgt, g_self, axis
         )
         gt_rows = gt_rows + _scatter_trans_rows(
-            trans_rows.shape,
-            lat.targets[:, 1:],
-            jnp.ones_like(in_shard[:, 1:]),
-            lat.targets[:, :-1],
-            g_next[:, :-1],
-            axis,
+            trans_rows.shape, tgt[:, 1:], ones[:, 1:], tgt[:, :-1],
+            g_next[:, :-1], axis,
         )
-        return gt_rows, gi, None, None, None
+        return gt_rows, gi
+
+    @jax.custom_vjp
+    def asg_vp(transition, inputs, targets, input_lengths, target_lengths):
+        return smap(
+            primal_local, (spec_t, spec_i, rep, rep, rep), rep
+        )(transition, inputs, targets, input_lengths, target_lengths)
+
+    def fwd(transition, inputs, targets, input_lengths, target_lengths):
+        outs = smap(
+            fwd_local,
+            (spec_t, spec_i, rep, rep, rep),
+            (rep, rep, spec_i, spec_i, rep, rep, rep, rep, rep, rep),
+        )(transition, inputs, targets, input_lengths, target_lengths)
+        loss, full, alpha, beta, ali, self_t, next_t, tgt, alpha_a, beta_a = outs
+        res = (
+            transition, inputs, input_lengths,
+            full, alpha, beta, ali, self_t, next_t, tgt, alpha_a, beta_a,
+        )
+        return loss, res
+
+    def bwd(res, g):
+        (transition, inputs, input_lengths,
+         full, alpha, beta, ali, self_t, next_t, tgt, alpha_a, beta_a) = res
+        gt, gi = smap(
+            bwd_local,
+            (spec_t, spec_i, rep,
+             rep, spec_i, spec_i, rep, rep, rep, rep, rep, rep, rep),
+            (spec_t, spec_i),
+        )(
+            transition, inputs, input_lengths,
+            full, alpha, beta, ali, self_t, next_t, tgt, alpha_a, beta_a, g,
+        )
+        return gt, gi, None, None, None
 
     asg_vp.defvjp(fwd, bwd)
-    _VP_CACHE[axis] = asg_vp
+    _VP_CACHE[key] = asg_vp
     return asg_vp
 
 
@@ -316,13 +383,8 @@ def asg_loss_vp(
             f"num_labels {num_labels} not divisible by mesh axis "
             f"{axis!r} = {mesh.shape[axis]}"
         )
-    fn = _get_asg_vp(axis)
-    per_batch = jax.shard_map(
-        fn,
-        mesh=mesh,
-        in_specs=(P(axis, None), P(None, None, axis), P(), P(), P()),
-        out_specs=P(),
-    )(transition, inputs, targets, input_lengths, target_lengths)
+    fn = _get_asg_vp(mesh, axis)
+    per_batch = fn(transition, inputs, targets, input_lengths, target_lengths)
     if reduction == "sum":
         return per_batch.sum()
     if reduction == "mean":
@@ -354,4 +416,5 @@ def fcc_score_vp(
         mesh=mesh,
         in_specs=(P(axis, None), P(None, None, axis), P()),
         out_specs=P(),
+        check_vma=False,
     )(transition, inputs, input_lengths)
