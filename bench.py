@@ -5,10 +5,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The reference publishes no benchmark numbers (README.md:27-34 roadmap item
 unchecked; see BASELINE.md), so vs_baseline compares the fused Pallas
-kernels against this repo's own XLA lax.scan implementation on the same
+kernel against this repo's own XLA lax.scan implementation on the same
 chip — the honest stand-in for "the same math without the custom kernels".
-A correctness gate (pallas vs scan allclose) runs first; a failed gate
+A correctness gate (fused vs scan allclose) runs first; a failed gate
 reports value 0.
+
+Timing methodology: each iteration's inputs depend on the previous
+iteration's outputs (a chained data dependency), and the loop is closed by
+fetching a scalar to the host.  Plain back-to-back dispatch with
+block_until_ready can report physically impossible numbers through remote
+TPU tunnels (async dispatch acknowledges before execution completes);
+chain-plus-fetch forces real sequential device execution.
 """
 
 import json
@@ -20,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 B, T, S, N = 64, 1000, 50, 30
-WARMUP, ITERS = 3, 10
+WARMUP, ITERS = 2, 30
 
 
 def make_case(dtype=jnp.float32):
@@ -33,14 +40,31 @@ def make_case(dtype=jnp.float32):
     return trans, inputs, targets, li, lo
 
 
-def timed(fn, *args):
-    for _ in range(WARMUP):
-        jax.block_until_ready(fn(*args))
+def fetch_overhead_ms():
+    t = jnp.zeros((1,))
+    f = jax.jit(lambda x: x + 1)
+    float(f(t)[0])
     t0 = time.perf_counter()
+    for _ in range(3):
+        float(f(t)[0])
+    return (time.perf_counter() - t0) / 3 * 1e3
+
+
+def timed_chained(step, trans, inputs, fetch_ms):
+    """step: (trans, inputs) -> (loss, grad_inputs). Chains grad -> inputs."""
+    cur = inputs
+    for _ in range(WARMUP):
+        loss, gi = step(trans, cur)
+        cur = inputs + 0.0 * gi
+    float(loss)  # hard sync
+    t0 = time.perf_counter()
+    cur = inputs
     for _ in range(ITERS):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / ITERS
+        loss, gi = step(trans, cur)
+        cur = inputs + 0.0 * gi
+    float(loss)  # hard sync: forces the whole chain to have executed
+    total = (time.perf_counter() - t0) * 1e3
+    return max(total - fetch_ms, 1e-6) / ITERS
 
 
 def main():
@@ -49,26 +73,37 @@ def main():
     trans, inputs, targets, li, lo = make_case()
 
     def make_step(impl):
-        def step(tr, inp):
-            return jax.value_and_grad(
+        def inner(tr, inp):
+            loss, (gt, gi) = jax.value_and_grad(
                 lambda tr, inp: asg_loss(
                     tr, inp, targets, li, lo, reduction="mean", impl=impl
                 ),
                 argnums=(0, 1),
             )(tr, inp)
+            return loss, gi
 
-        return jax.jit(step)
+        return jax.jit(inner)
 
     scan_step = make_step("scan")
-    pallas_step = make_step("pallas")
+    fused_step = make_step("fused")
 
-    # correctness gate
-    (l_s, (gt_s, gi_s)) = scan_step(trans, inputs)
-    (l_p, (gt_p, gi_p)) = pallas_step(trans, inputs)
+    # correctness gate (loss + input grads, fused vs scan)
+    def grads(impl):
+        return jax.jit(
+            jax.value_and_grad(
+                lambda tr, inp: asg_loss(
+                    tr, inp, targets, li, lo, reduction="mean", impl=impl
+                ),
+                argnums=(0, 1),
+            )
+        )(trans, inputs)
+
+    (l_s, (gt_s, gi_s)) = grads("scan")
+    (l_f, (gt_f, gi_f)) = grads("fused")
     ok = (
-        np.allclose(float(l_s), float(l_p), rtol=2e-3, atol=2e-3)
-        and np.allclose(np.asarray(gt_s), np.asarray(gt_p), rtol=2e-2, atol=2e-3)
-        and np.allclose(np.asarray(gi_s), np.asarray(gi_p), rtol=2e-2, atol=2e-3)
+        np.allclose(float(l_s), float(l_f), rtol=2e-3, atol=2e-3)
+        and np.allclose(np.asarray(gt_s), np.asarray(gt_f), rtol=2e-2, atol=2e-3)
+        and np.allclose(np.asarray(gi_s), np.asarray(gi_f), rtol=2e-2, atol=2e-3)
     )
     if not ok:
         print(
@@ -78,29 +113,34 @@ def main():
                     "value": 0,
                     "unit": "frames/s",
                     "vs_baseline": 0.0,
-                    "error": "pallas/scan mismatch",
+                    "error": "fused/scan mismatch",
                 }
             )
         )
         return 1
 
-    t_scan = timed(scan_step, trans, inputs)
-    t_pallas = timed(pallas_step, trans, inputs)
+    fetch_ms = fetch_overhead_ms()
+    t_scan = timed_chained(scan_step, trans, inputs, fetch_ms)
+    t_fused = timed_chained(fused_step, trans, inputs, fetch_ms)
     frames = B * T
-    best = min(t_scan, t_pallas)
+    best = min(t_scan, t_fused)
 
     print(
         json.dumps(
             {
                 "metric": "ASG fwd+bwd frames/sec/chip (B=64,T=1000,N=30)",
-                "value": round(frames / best, 1),
+                "value": round(frames / (best / 1e3), 1),
                 "unit": "frames/s",
-                "vs_baseline": round(t_scan / t_pallas, 3),
+                "vs_baseline": round(t_scan / t_fused, 3),
                 "detail": {
-                    "pallas_ms": round(t_pallas * 1e3, 3),
-                    "xla_scan_ms": round(t_scan * 1e3, 3),
+                    "fused_ms": round(t_fused, 3),
+                    "xla_scan_ms": round(t_scan, 3),
                     "backend": jax.default_backend(),
-                    "note": "reference publishes no numbers; vs_baseline = xla_scan_time / pallas_time on the same chip",
+                    "note": (
+                        "reference publishes no numbers; vs_baseline = "
+                        "xla_scan_time / fused_kernel_time on the same chip; "
+                        "chained+fetch-synced timing"
+                    ),
                 },
             }
         )

@@ -31,7 +31,7 @@ from .ops.fcc import fcc_score
 from .utils.lengths import default_lengths
 
 REDUCTIONS = ("mean", "sum", "none")
-IMPLS = ("scan", "pallas", "auto")
+IMPLS = ("scan", "pallas", "fused", "auto")
 
 
 def _prep(inputs, targets, input_lengths, target_lengths):
@@ -61,12 +61,37 @@ def _reduce(result: jnp.ndarray, reduction: str) -> jnp.ndarray:
 
 
 def _resolve_impl(impl: str):
-    if impl in ("scan", "auto"):
-        return fcc_score, fac_score
+    """Returns scores_fn(transition, inputs, targets, li, lo) -> (full, aligned).
+
+    'fused'/'auto': the single fused Pallas kernel computing both lattices
+    (the TPU answer to the reference's 4-stream orchestration, C11);
+    'pallas': the per-lattice Pallas kernels; 'scan': the pure-jnp
+    lax.scan oracle (parity/debug path, analogous to the reference's
+    gpu_no_stream_impl switch).
+    """
+    if impl == "scan":
+
+        def scores_scan(transition, inputs, targets, li, lo):
+            return (
+                fcc_score(transition, inputs, li),
+                fac_score(transition, inputs, targets, li, lo),
+            )
+
+        return scores_scan
     if impl == "pallas":
         from .ops.pallas import fac_score_pallas, fcc_score_pallas
 
-        return fcc_score_pallas, fac_score_pallas
+        def scores_pallas(transition, inputs, targets, li, lo):
+            return (
+                fcc_score_pallas(transition, inputs, li),
+                fac_score_pallas(transition, inputs, targets, li, lo),
+            )
+
+        return scores_pallas
+    if impl in ("fused", "auto"):
+        from .ops.pallas import asg_scores_fused
+
+        return asg_scores_fused
     raise ValueError(f"unknown impl {impl!r}; expected one of {IMPLS}")
 
 
@@ -103,13 +128,14 @@ def asg_loss(
     )
     if temperature <= 0.0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
-    fcc, fac = _resolve_impl(impl)
+    scores_fn = _resolve_impl(impl)
     if temperature != 1.0:
         inv = 1.0 / temperature
         transition = transition * inv
         inputs = inputs * inv
-    full = fcc(transition, inputs, input_lengths)
-    aligned = fac(transition, inputs, targets, input_lengths, target_lengths)
+    full, aligned = scores_fn(
+        transition, inputs, targets, input_lengths, target_lengths
+    )
     out = full - aligned
     if temperature != 1.0:
         out = out * temperature
@@ -133,10 +159,8 @@ def asg_scores(
     targets, input_lengths, target_lengths = _prep(
         inputs, targets, input_lengths, target_lengths
     )
-    fcc, fac = _resolve_impl(impl)
-    full = fcc(transition, inputs, input_lengths)
-    aligned = fac(transition, inputs, targets, input_lengths, target_lengths)
-    return full, aligned
+    scores_fn = _resolve_impl(impl)
+    return scores_fn(transition, inputs, targets, input_lengths, target_lengths)
 
 
 @jax.tree_util.register_dataclass

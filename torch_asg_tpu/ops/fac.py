@@ -91,17 +91,19 @@ def make_aligned(
     valid = tmask[:, :, None] & smask[None, :, :] & (nonfin < 0.5)
     aligned = jnp.where(valid, aligned, NEG_INF)
 
-    self_trans = transition[tgt, tgt]  # (B, S)
-    self_trans = jnp.where(smask, self_trans, 0.0)
-    next_pairs = transition[tgt[:, 1:], tgt[:, :-1]]  # (B, S-1)
+    # Transition gathers T[y_s, y_s] / T[y_{s+1}, y_s] as one-hot matmuls
+    # too: advanced-indexing gathers serialize on TPU and cost more than
+    # the whole lattice recursion (C10b equivalent, MXU-native).  The
+    # masked one-hot makes invalid slots exact zeros with no extra wheres.
+    tt = jnp.einsum(
+        "bsj,ij->bsi", onehot, transition.astype(inputs.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # tt[b, s, i] = T[i, y_s], 0 where s invalid
+    self_trans = jnp.einsum("bsi,bsi->bs", tt, onehot)
+    next_pairs = jnp.einsum("bsi,bsi->bs", tt[:, :-1], onehot[:, 1:])
     next_trans = jnp.concatenate(
         [next_pairs, jnp.zeros((num_batches, 1), next_pairs.dtype)], axis=1
     )
-    smask_next = (
-        jnp.arange(s_total, dtype=target_lengths.dtype)[None, :]
-        < (target_lengths - 1)[:, None]
-    )
-    next_trans = jnp.where(smask_next, next_trans, 0.0)
     return AlignedLattice(aligned, self_trans, next_trans, tgt, onehot)
 
 
@@ -225,21 +227,26 @@ def scatter_to_full(
     equivalents.  Masked-out cells already carry exact zeros so the
     scatters are unconditional; everything is deterministic (the
     reference's CUDA twin needs atomicAdd,
-    ``force_aligned_lattice_kernel.cu:291,297,418``).  The big (T,B,S)->
-    (T,B,N) emission-grad scatter runs as the transpose of the one-hot
-    gather matmul (MXU) — a TPU scatter here costs more than the whole
-    lattice recursion.  The (N,N) transition scatters stay as scatter-adds
-    (only B*S updates)."""
+    ``force_aligned_lattice_kernel.cu:291,297,418``).  ALL scatters run as
+    transposed one-hot matmuls (MXU): TPU scatter ops serialize and cost
+    more than the whole lattice recursion, both for the big (T,B,S) ->
+    (T,B,N) emission grads and for the (N,N) transition grads."""
     grad_inputs = jnp.einsum(
         "tbs,bsi->tbi", g_aligned, lat.onehot, precision=jax.lax.Precision.HIGHEST
     )
 
-    grad_transition = jnp.zeros((num_labels, num_labels), g_aligned.dtype)
-    grad_transition = grad_transition.at[lat.targets, lat.targets].add(g_self_trans)
-    nxt = lat.targets[:, 1:]
-    cur = lat.targets[:, :-1]
-    grad_transition = grad_transition.at[nxt, cur].add(g_next_trans[:, :-1])
-    return grad_transition, grad_inputs
+    # dT[i,j] += sum_{b,s} 1[y_s = i] g_self[b,s] 1[y_s = j]
+    #          + sum_{b,s} 1[y_{s+1} = i] g_next[b,s] 1[y_s = j]
+    hp = jax.lax.Precision.HIGHEST
+    gt_self = jnp.einsum(
+        "bsi,bs,bsj->ij", lat.onehot, g_self_trans, lat.onehot, precision=hp
+    )
+    gt_next = jnp.einsum(
+        "bsi,bs,bsj->ij",
+        lat.onehot[:, 1:], g_next_trans[:, :-1], lat.onehot[:, :-1],
+        precision=hp,
+    )
+    return gt_self + gt_next, grad_inputs
 
 
 def _fac_bwd(res, g):
