@@ -180,6 +180,7 @@ class ASGLoss:
     reduction: str = field(metadata=dict(static=True), default="mean")
     forward_only: bool = field(metadata=dict(static=True), default=False)
     impl: str = field(metadata=dict(static=True), default="auto")
+    temperature: float = field(metadata=dict(static=True), default=1.0)
 
     @classmethod
     def create(
@@ -188,6 +189,7 @@ class ASGLoss:
         reduction: str = "mean",
         forward_only: bool = False,
         impl: str = "auto",
+        temperature: float = 1.0,
         dtype=jnp.float32,
     ) -> "ASGLoss":
         if reduction not in REDUCTIONS:
@@ -198,6 +200,7 @@ class ASGLoss:
             reduction=reduction,
             forward_only=forward_only,
             impl=impl,
+            temperature=temperature,
         )
 
     def __call__(self, inputs, targets, input_lengths=None, target_lengths=None):
@@ -209,6 +212,7 @@ class ASGLoss:
             target_lengths,
             reduction=self.reduction,
             impl=self.impl,
+            temperature=self.temperature,
         )
         if self.forward_only:
             out = jax.lax.stop_gradient(out)

@@ -1,62 +1,58 @@
-"""Fully-fused ASG Pallas kernel: all four lattice recursions in ONE kernel.
+"""Fully-fused ASG Pallas kernels: both lattices, two passes over HBM.
 
 The reference needs four CUDA streams to overlap its four independent
 recursions (zh217/torch-asg ``streamlined_fast_gpu.cpp:121-129``: FCC-alpha,
 FCC-beta, FAC-alpha, FAC-beta).  A TPU core runs one kernel at a time, so
-the TPU-native equivalent is stronger: interleave all four dependency
-chains inside a single Pallas kernel so they hide each other's latency,
-with the whole T-recursion fused into one launch.
+the TPU-native equivalent is stronger: interleave the dependency chains
+inside single Pallas kernels so they hide each other's latency, with whole
+T-recursions fused into one launch each.
 
-Performance structure (beyond the per-lattice kernels in
-``fcc_kernels.py`` / ``fac_kernels.py``):
+The op is HBM-bandwidth-bound (the per-step compute is tiny), so the
+structure minimizes passes over (T, B, *)-sized data:
 
-1.  **Exp-domain FCC chains (scaled-probability forward algorithm).**
-    The fully-connected step ``alpha_t = I_t + lse_j(T + alpha_{t-1})``
-    is carried as a *normalized probability row* ``p_t ~ exp(alpha_t)``,
-    renormalized by its max every step, so the serial chain collapses to
-    ``matmul -> multiply -> max -> rescale`` with no exp/log on the chain
-    (per-frame emission exponentials depend only on inputs and sit off
-    the chain).  This is fp32-safe *for the FCC lattice specifically*:
-    full connectivity bounds the within-row spread of alpha by one step's
-    emission+transition spread, so normalized rows never underflow.
-    Per-batch offsets are tracked only for the beta chain (the score
-    needs them); the backward never needs offsets because per-(t,b)
-    scales cancel in every softmax.
+*   **Forward kernel = beta chains only + stores.**  Scores need only
+    beta (``fully_connected_lattice.cpp:89``, ``force_aligned:316``), so
+    the forward walks t downward once, streaming raw emissions and
+    writing the beta residuals (PB exp-domain-normalized, QB log-domain).
+    The score-only kernel is the same walk without the stores — the
+    reference's forward-only fast path (``streamlined_fast_gpu.cpp:24-94``)
+    with one launch instead of two streams.
 
-2.  **Log-domain FAC chains.**  The aligned lattice's within-row spread
-    grows with |s - t*S/T| and routinely exceeds fp32's ~88-nat exp
-    range, so the 2-edge chains stay in log space:
-    ``logaddexp(stay, advance)`` per step — pure VPU, no matmul, cheap
-    enough that the FCC matmul chain still gates the step.
+*   **Backward kernel recomputes alpha instead of loading it.**  It walks
+    t upward once, re-running both alpha chains in VMEM while consuming
+    the stored betas, and emits all gradients in the same pass:
+    posteriors dI, the FCC transition accumulation as ONE
+    (N, K*B) @ (K*B, N) MXU product per time block, and the FAC 2-edge
+    splits.  Alpha never touches HBM in either direction, and the
+    reference's O(T*B*N^2) ``path_contrib`` tensor
+    (``fully_connected_lattice.cpp:77``) never exists in any form.
 
-3.  **Vectorized backward.**  Gradients need no serial recursion at all
-    (the reference's headline claim, README.md:17-23): each time block is
-    processed with fully vectorized posterior softmaxes, and the FCC dT
-    accumulation is ONE (N, K*B) @ (K*B, N) MXU product per block, with
-    the per-step transition softmax recomputed from the stored normalized
-    alpha rows (``softmax_j = E^T[j,i] PA_prev[j] / (PA_prev @ E^T)[i]``).
-    The reference's O(T*B*N^2) ``path_contrib`` tensor
-    (``fully_connected_lattice.cpp:77``) never exists in any form.  FAC
-    edge fractions use the direct form ``exp(alpha_prev + trans + I~ -
-    alpha)`` whose exponent is <= 0 by construction — a single exp of a
-    bounded value, never a tiny/tiny division.
+*   **Raw, unpadded, unmasked emission streams.**  Kernels take (T, B, N)
+    and (T, B, S) arrays as produced by the gather, lane-pad them to 128
+    inside VMEM, and apply the ragged-length masking in-kernel from the
+    lengths vector — the XLA-side mask/pad copies (4+ full-size HBM round
+    trips) disappear.
 
-The inner time loop is *statically unrolled* (``for j in range(kb)``):
-profiling showed a dynamic ``fori_loop`` costs ~1.5 us/step in loop and
-dynamic-indexing overhead, an order of magnitude above the real per-step
-compute.  Unrolling gives Mosaic static addresses and lets it software-
-pipeline across steps.
+Numeric domains: the FCC chains run in the exp domain (scaled-probability
+recursion — the per-step logsumexp collapses to matmul+rescale with no
+transcendentals on the serial chain; safe because full connectivity
+bounds the within-row alpha spread by one step's emission+transition
+spread).  The FAC chains stay in the log domain (2-way logaddexp) because
+the aligned lattice's within-row spread grows with |s - t*S/T| and
+routinely exceeds fp32's ~88-nat exp range.  Gradient formulas use only
+multiplies, one exp of a provably <= 0 exponent (the FAC edge fraction,
+``force_aligned_lattice.cpp:165-180`` recomputed), and log-space posterior
+softmaxes — robust to fp32 underflow by construction.
 
-Ragged lengths are handled exactly like the rest of the framework:
-emissions are pre-masked to -inf outside ``t < L_in[b]``, the beta chains
-re-seed at ``t == L_in[b]-1``, and the FCC chain's per-step transition
-scale ``exp(-c)`` is repaid as ``(L_in-1)*c`` outside the kernel.
+Inner time loops are statically unrolled (``for j in range(kb)``): dynamic
+``fori_loop`` indexing costs over a microsecond per step in loop overhead,
+an order of magnitude above the per-step compute.
 
 Behavior parity: forward scores and gradients match
 ``fully_connected_lattice.cpp`` / ``force_aligned_lattice.cpp`` (see
-ops/fcc.py and ops/fac.py for the per-formula citations); the fused
-forward returns the same (full, aligned) pair as the reference's streamed
-forward (``streamlined_fast_gpu.cpp:227-229``).
+ops/fcc.py and ops/fac.py for per-formula citations); the fused forward
+returns the same (full, aligned) pair as the reference's streamed forward
+(``streamlined_fast_gpu.cpp:227-229``).
 """
 
 from __future__ import annotations
@@ -70,13 +66,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import LANE, NEG_INF, SUBLANE, pad_axis, round_up, use_interpret
 from ..fac import make_aligned, scatter_to_full
-from ...utils.lengths import mask_emissions
 
 # Lattice steps per sequential grid iteration (statically unrolled).
 ASG_TIME_BLOCK = 8
-# MXU precision for the serial chain matmuls.  HIGH (3 bf16 passes) keeps
-# per-step rounding ~f32-grade at half the HIGHEST latency; the chain is
-# latency-bound on this matmul.
+# MXU precision for the chain matmuls.  Mosaic supports DEFAULT (one bf16
+# pass) and HIGHEST (six); the op is bandwidth-bound, so the accurate one
+# is effectively free.
 CHAIN_PRECISION = jax.lax.Precision.HIGHEST
 
 
@@ -121,134 +116,56 @@ def _dot(a, b, dt):
     return jnp.dot(a, b, preferred_element_type=dt, precision=CHAIN_PRECISION)
 
 
+def _lane_pad(blk, width, fill):
+    """Pad the last axis of an in-VMEM block up to ``width`` with ``fill``."""
+    cur = blk.shape[-1]
+    if cur == width:
+        return blk
+    tail = jnp.full(blk.shape[:-1] + (width - cur,), fill, blk.dtype)
+    return jnp.concatenate([blk, tail], axis=-1)
+
+
+def _masked_block(ref, li, t0, width, kb):
+    """Load a (kb, B, n_raw) block, lane-pad to ``width``, mask frames with
+    t >= L_in[b] to -inf (replaces the XLA-side mask_emissions + pad)."""
+    blk = _lane_pad(ref[:], width, NEG_INF)
+    t_idx = t0 + jax.lax.broadcasted_iota(jnp.int32, (kb, 1, 1), 0)
+    return jnp.where(li[None] > t_idx, blk, NEG_INF)
+
+
 # ---------------------------------------------------------------------------
-# fused forward kernel (training): FCC-alpha/beta + FAC-alpha/beta
+# forward kernel: the two beta chains, descending t; optional stores
 # ---------------------------------------------------------------------------
 
 
 def _fwd_kernel(
-    li_ref, lo_ref, e_ref, e_t_ref, self_ref, next_ref,
-    ia_ref, ib_ref, aia_ref, aib_ref,
-    pa_ref, pb_ref, qa_ref, qb_ref, sful_ref, sfac_ref,
-    pa_c, pb_c, qa_c, qb_c, offb_c, eib_top, cib_top, aib_top,
-    *, kb, num_labels,
+    li_ref, lo_ref, e_ref, self_ref, next_ref, ib_ref, aib_ref,
+    # outputs (store variant): pb_ref, qb_ref, then sful/sfac
+    *refs,
+    kb, num_labels, store,
 ):
+    if store:
+        pb_ref, qb_ref, sful_ref, sfac_ref = refs[:4]
+        scratch = refs[4:]
+    else:
+        sful_ref, sfac_ref = refs[:2]
+        scratch = refs[2:]
+    pb_c, qb_c, offb_c, eib_top, cib_top, aib_top = scratch
+
     k = pl.program_id(0)
     nb = pl.num_programs(0)
     li = li_ref[:]  # (B, 1) int32
     lo = lo_ref[:]
     e = e_ref[:]
-    e_t = e_t_ref[:]
     selft = self_ref[:]
     nextt = next_ref[:]
     dt = e.dtype
+    n_pad = pb_c.shape[1]
+    s_pad = qb_c.shape[1]
 
     @pl.when(k == 0)
     def _():
-        # FCC chains live in the exp domain (semiring zero = 0); FAC
-        # chains in the log domain (semiring zero = -inf).
-        pa_c[:] = jnp.zeros_like(pa_c)
-        pb_c[:] = jnp.zeros_like(pb_c)
-        qa_c[:] = jnp.full_like(qa_c, NEG_INF)
-        qb_c[:] = jnp.full_like(qb_c, NEG_INF)
-        offb_c[:] = jnp.zeros_like(offb_c)
-        eib_top[:] = jnp.zeros_like(eib_top)
-        cib_top[:] = jnp.zeros_like(cib_top)
-        aib_top[:] = jnp.full_like(aib_top, NEG_INF)
-
-    lane_n = jax.lax.broadcasted_iota(jnp.int32, pa_c.shape, 1)
-    seed_fcc = (lane_n < num_labels).astype(dt)  # beta seed row: 1 on real labels
-    lane_s = jax.lax.broadcasted_iota(jnp.int32, qa_c.shape, 1)
-    # FAC beta seed: 0 at s = L_out-1, -inf elsewhere (log domain).
-    seed_fac = jnp.where(lane_s == lo - 1, 0.0, NEG_INF).astype(dt)
-
-    pa, pb, qa, qb = pa_c[:], pb_c[:], qa_c[:], qb_c[:]
-    offb = offb_c[:]
-    b_start = (nb - 1 - k) * kb
-
-    for j in range(kb):
-        j_local = kb - 1 - j
-        t_b = b_start + j_local
-        seed_b = li - 1 == t_b  # (B, 1)
-
-        # ---- FCC alpha at t_a = k*kb + j (ascending, exp domain)
-        eia_j, _ = _exp_rows(ia_ref[j])
-        s = _dot(pa, e_t, dt)
-        if j == 0:
-            # t == 0: alpha_0 = I_0, i.e. the transition sum is the
-            # semiring one (exp-domain 1).
-            s = jnp.where(k == 0, jnp.ones_like(s), s)
-        pa, _ = _rescale(s * eia_j)
-        pa_ref[j] = pa
-
-        # ---- FCC beta at t_b (descending, exp domain); eats I[t_b + 1]
-        if j == 0:
-            eib_n, cb_n = eib_top[:], cib_top[:]
-        else:
-            eib_n, cb_n = _exp_rows(ib_ref[j_local + 1])
-        sb, logmb = _rescale(_dot(pb * eib_n, e, dt))
-        pb = jnp.where(seed_b, seed_fcc, sb)
-        offb = jnp.where(seed_b, 0.0, offb + cb_n + logmb)
-        pb_ref[j_local] = pb
-
-        # ---- FAC alpha at t_a (log domain, 2-way logaddexp)
-        ai_j = aia_ref[j]
-        raw = ai_j + jnp.logaddexp(qa + selft, _rot_right(qa + nextt, NEG_INF))
-        if j == 0:
-            # t == 0: only state s = 0 is accessible
-            # (force_aligned_lattice.cpp:294).
-            raw = jnp.where(
-                k == 0, jnp.where(lane_s == 0, ai_j, NEG_INF), raw
-            )
-        qa = raw
-        qa_ref[j] = qa
-
-        # ---- FAC beta at t_b (log domain); eats aligned I~[t_b + 1]
-        ai_n = aib_top[:] if j == 0 else aib_ref[j_local + 1]
-        x = qb + ai_n
-        rawb = jnp.logaddexp(selft + x, nextt + _rot_left(x, NEG_INF))
-        qb = jnp.where(seed_b, seed_fac, rawb)
-        qb_ref[j_local] = qb
-
-    pa_c[:], pb_c[:], qa_c[:], qb_c[:] = pa, pb, qa, qb
-    offb_c[:] = offb
-    eib0, cib0 = _exp_rows(ib_ref[0])
-    eib_top[:], cib_top[:] = eib0, cib0
-    aib_top[:] = aib_ref[0]
-
-    @pl.when(k == nb - 1)
-    def _():
-        # Beta chains have reached t = 0 (descending block 0 holds t=0).
-        # full score  = lse_i(beta_0 + I_0)          (fully_connected:89)
-        # fac score   = beta_fac[0,:,0] + I~[0,:,0]  (force_aligned:316)
-        # The FCC per-step exp(-c) scaling is repaid outside: +(L_in-1)*c.
-        tot = jnp.sum(pb * eib0, axis=1, keepdims=True)
-        sful_ref[:] = jnp.log(tot) + cib0 + offb
-        sfac_ref[:] = _col0(qb, lane_s) + _col0(aib_ref[0], lane_s)
-
-
-# ---------------------------------------------------------------------------
-# fused score kernel (forward-only): the two beta chains + scores
-# ---------------------------------------------------------------------------
-
-
-def _score_kernel(
-    li_ref, lo_ref, e_ref, self_ref, next_ref, ib_ref, aib_ref,
-    sful_ref, sfac_ref,
-    pb_c, qb_c, offb_c, eib_top, cib_top, aib_top,
-    *, kb, num_labels,
-):
-    k = pl.program_id(0)
-    nb = pl.num_programs(0)
-    li = li_ref[:]
-    lo = lo_ref[:]
-    e = e_ref[:]
-    selft = self_ref[:]
-    nextt = next_ref[:]
-    dt = e.dtype
-
-    @pl.when(k == 0)
-    def _():
+        # FCC beta is exp-domain (semiring zero = 0); FAC beta log-domain.
         pb_c[:] = jnp.zeros_like(pb_c)
         qb_c[:] = jnp.full_like(qb_c, NEG_INF)
         offb_c[:] = jnp.zeros_like(offb_c)
@@ -257,78 +174,131 @@ def _score_kernel(
         aib_top[:] = jnp.full_like(aib_top, NEG_INF)
 
     lane_n = jax.lax.broadcasted_iota(jnp.int32, pb_c.shape, 1)
-    seed_fcc = (lane_n < num_labels).astype(dt)
+    seed_fcc = (lane_n < num_labels).astype(dt)  # beta seed: 1 on real labels
     lane_s = jax.lax.broadcasted_iota(jnp.int32, qb_c.shape, 1)
+    # FAC beta seed: 0 at s = L_out-1, -inf elsewhere (log domain).
     seed_fac = jnp.where(lane_s == lo - 1, 0.0, NEG_INF).astype(dt)
+
+    b_start = (nb - 1 - k) * kb
+    # Block-wide prep (vectorized, off the serial chains): lane-pad, apply
+    # the ragged time mask, and exponentiate the FCC emissions.
+    ib_m = _masked_block(ib_ref, li, b_start, n_pad, kb)
+    eib_blk, cib_blk = _exp_rows(ib_m)
+    aib_blk = _lane_pad(aib_ref[:], s_pad, NEG_INF)  # pre-masked by gather
 
     pb, qb = pb_c[:], qb_c[:]
     offb = offb_c[:]
-    b_start = (nb - 1 - k) * kb
 
     for j in range(kb):
         j_local = kb - 1 - j
         t_b = b_start + j_local
-        seed_b = li - 1 == t_b
+        seed_b = li - 1 == t_b  # (B, 1)
 
+        # ---- FCC beta at t_b (exp domain); consumes emission at t_b + 1
         if j == 0:
             eib_n, cb_n = eib_top[:], cib_top[:]
             ai_n = aib_top[:]
         else:
-            eib_n, cb_n = _exp_rows(ib_ref[j_local + 1])
-            ai_n = aib_ref[j_local + 1]
-
+            eib_n, cb_n = eib_blk[j_local + 1], cib_blk[j_local + 1]
+            ai_n = aib_blk[j_local + 1]
         sb, logmb = _rescale(_dot(pb * eib_n, e, dt))
         pb = jnp.where(seed_b, seed_fcc, sb)
         offb = jnp.where(seed_b, 0.0, offb + cb_n + logmb)
 
+        # ---- FAC beta at t_b (log domain); consumes aligned I~[t_b + 1]
         x = qb + ai_n
         rawb = jnp.logaddexp(selft + x, nextt + _rot_left(x, NEG_INF))
         qb = jnp.where(seed_b, seed_fac, rawb)
 
+        if store:
+            pb_ref[j_local] = pb
+            qb_ref[j_local] = qb
+
     pb_c[:], qb_c[:] = pb, qb
     offb_c[:] = offb
-    eib0, cib0 = _exp_rows(ib_ref[0])
-    eib_top[:], cib_top[:] = eib0, cib0
-    aib_top[:] = aib_ref[0]
+    eib_top[:], cib_top[:] = eib_blk[0], cib_blk[0]
+    aib_top[:] = aib_blk[0]
 
     @pl.when(k == nb - 1)
     def _():
-        tot = jnp.sum(pb * eib0, axis=1, keepdims=True)
-        sful_ref[:] = jnp.log(tot) + cib0 + offb
-        sfac_ref[:] = _col0(qb, lane_s) + _col0(aib_ref[0], lane_s)
+        # Beta chains have reached t = 0.
+        # full score  = lse_i(beta_0 + I_0)          (fully_connected:89)
+        # fac score   = beta_fac[0,:,0] + I~[0,:,0]  (force_aligned:316)
+        # The FCC per-step exp(-c) scaling is repaid outside: +(L_in-1)*c.
+        tot = jnp.sum(pb * eib_blk[0], axis=1, keepdims=True)
+        sful_ref[:] = jnp.log(tot) + cib_blk[0] + offb
+        sfac_ref[:] = _col0(qb, lane_s) + _col0(aib_blk[0], lane_s)
 
 
 # ---------------------------------------------------------------------------
-# fused backward kernel: vectorized per block (no serial recursion at all)
+# backward kernel: recompute alphas ascending, emit all grads in one pass
 # ---------------------------------------------------------------------------
 
 
 def _bwd_kernel(
-    gful_ref, gfac_ref, e_ref, e_t_ref, self_ref, next_ref,
-    pa_ref, pb_ref, qa_ref, qb_ref, aia_ref,
+    li_ref, lo_ref, gful_ref, gfac_ref, e_ref, e_t_ref, self_ref, next_ref,
+    ia_ref, aia_ref, pb_ref, qb_ref,
     gi_ref, gali_ref, gt_ref, gself_ref, gnext_ref,
-    pa_prev_c, qa_prev_c, acc_t, acc_self, acc_diag,
-    *, kb,
+    pa_c, qa_c, pa_blk_s, qa_blk_s, acc_t, acc_self, acc_diag,
+    *, kb, num_labels,
 ):
     k = pl.program_id(0)
     nb = pl.num_programs(0)
-    dt = acc_t.dtype
+    li = li_ref[:]
+    e = e_ref[:]
+    e_t = e_t_ref[:]
+    selft = self_ref[:]
+    nextt = next_ref[:]
+    dt = e.dtype
+    n_pad = pa_c.shape[1]
+    s_pad = qa_c.shape[1]
 
     @pl.when(k == 0)
     def _():
+        pa_c[:] = jnp.zeros_like(pa_c)  # alpha_{-1} = semiring zero
+        qa_c[:] = jnp.full_like(qa_c, NEG_INF)
         acc_t[:] = jnp.zeros_like(acc_t)
         acc_self[:] = jnp.zeros_like(acc_self)
         acc_diag[:] = jnp.zeros_like(acc_diag)
-        # alpha_{-1} is the semiring zero: its dT contribution vanishes
-        # through the matmul / the t > 0 mask, no branch needed.
-        pa_prev_c[:] = jnp.zeros_like(pa_prev_c)
-        qa_prev_c[:] = jnp.full_like(qa_prev_c, NEG_INF)
+
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, qa_c.shape, 1)
+    t0 = k * kb
+    ia_m = _masked_block(ia_ref, li, t0, n_pad, kb)
+    eia_blk, _ = _exp_rows(ia_m)
+    aia_blk = _lane_pad(aia_ref[:], s_pad, NEG_INF)
+
+    # ---- serial part: recompute both alpha chains for this block
+    pa, qa = pa_c[:], qa_c[:]
+    pa_prev_rows = []
+    qa_prev_rows = []
+    for j in range(kb):
+        pa_prev_rows.append(pa)
+        qa_prev_rows.append(qa)
+        # FCC alpha (exp domain): alpha_t = I_t + lse_j(T + alpha_{t-1})
+        s = _dot(pa, e_t, dt)
+        if j == 0:
+            s = jnp.where(k == 0, jnp.ones_like(s), s)  # alpha_0 = I_0
+        pa, _ = _rescale(s * eia_blk[j])
+        pa_blk_s[j] = pa
+        # FAC alpha (log domain); t = 0 seeds at s = 0 only
+        # (force_aligned_lattice.cpp:294).
+        sq = jnp.logaddexp(qa + selft, _rot_right(qa + nextt, NEG_INF))
+        raw = aia_blk[j] + sq
+        if j == 0:
+            raw = jnp.where(
+                k == 0, jnp.where(lane_s == 0, aia_blk[j], NEG_INF), raw
+            )
+        qa = raw
+        qa_blk_s[j] = qa
+    pa_c[:], qa_c[:] = pa, qa
+    pa_prev = jnp.stack(pa_prev_rows)  # (K, B, N): alpha_{t-1} rows
+    qa_prev = jnp.stack(qa_prev_rows)
 
     gful = gful_ref[:][None]  # (1, B, 1)
     gfac = gfac_ref[:][None]
 
-    # ---- FCC: posterior dI + one-matmul dT accumulation
-    pa_blk = pa_ref[:]  # (K, B, N), normalized exp-domain alpha
+    # ---- vectorized part: posteriors + transition grads for the block
+    pa_blk = pa_blk_s[:]  # (K, B, N) normalized exp-domain alpha
     pb_blk = pb_ref[:]
     # Posterior softmax in log space for fp32 robustness (the PA*PB
     # product may underflow even where the softmax is well defined).
@@ -339,21 +309,20 @@ def _bwd_kernel(
     gi = eg * (1.0 / jnp.where(den > 0, den, 1.0)) * gful
     gi_ref[:] = gi
 
-    kb_, b_pad, n_pad = pa_blk.shape
-    pa_prev = jnp.concatenate([pa_prev_c[:][None], pa_blk[: kb - 1]], axis=0)
+    kb_, b_pad, _ = pa_blk.shape
     pa_prev_f = pa_prev.reshape(kb_ * b_pad, n_pad)
     # softmax_j(T[i,j] + alpha_{t-1,j}) = E^T[j,i] pa_prev[j] / S[i]:
     # recompute S with one MXU matmul instead of storing path_contrib.
     # S >= exp(T[i,argmax] - c) keeps the division fp32-safe.
-    s = jnp.dot(pa_prev_f, e_t_ref[:], preferred_element_type=dt)
-    u = gi.reshape(kb_ * b_pad, n_pad) * (1.0 / jnp.where(s > 0, s, 1.0))
+    s_all = jnp.dot(pa_prev_f, e_t, preferred_element_type=dt)
+    u = gi.reshape(kb_ * b_pad, n_pad) * (
+        1.0 / jnp.where(s_all > 0, s_all, 1.0)
+    )
     acc_t[:] += jax.lax.dot_general(
         u, pa_prev_f, (((0,), (0,)), ((), ())), preferred_element_type=dt
     )
-    pa_prev_c[:] = pa_blk[kb - 1]
 
-    # ---- FAC: posterior + 2-edge split, log-domain inputs
-    qa_blk = qa_ref[:]  # (K, B, S) log-domain alpha
+    qa_blk = qa_blk_s[:]  # (K, B, S) log-domain alpha
     qb_blk = qb_ref[:]
     gamq = qa_blk + qb_blk
     mq = _safe_max_rows(gamq)
@@ -362,17 +331,14 @@ def _bwd_kernel(
     gq = eq * (1.0 / jnp.where(denq > 0, denq, 1.0)) * gfac
     gali_ref[:] = gq
 
-    qa_prev = jnp.concatenate([qa_prev_c[:][None], qa_blk[: kb - 1]], axis=0)
-    selft = self_ref[:][None]
-    nextt = next_ref[:][None]
     # Edge fractions as direct exps of <= 0 exponents
     # (force_aligned_lattice.cpp:165-180 recomputed instead of stored):
     #   hori = exp(alpha_prev[s]   + self[s]   + I~ - alpha)
     #   diag = exp(alpha_prev[s-1] + next[s-1] + I~ - alpha)
-    sub = jnp.where(jnp.isfinite(qa_blk), aia_ref[:] - qa_blk, NEG_INF)
-    hori = jnp.exp(qa_prev + selft + sub)
-    diag = jnp.exp(_rot_right(qa_prev + nextt, NEG_INF) + sub)
-    t_idx = k * kb + jax.lax.broadcasted_iota(jnp.int32, (kb_, 1, 1), 0)
+    sub = jnp.where(jnp.isfinite(qa_blk), aia_blk - qa_blk, NEG_INF)
+    hori = jnp.exp(qa_prev + selft[None] + sub)
+    diag = jnp.exp(_rot_right(qa_prev + nextt[None], NEG_INF) + sub)
+    t_idx = t0 + jax.lax.broadcasted_iota(jnp.int32, (kb_, 1, 1), 0)
     w = (t_idx > 0).astype(dt)  # t = 0 carries no edge mass
     lane_s3 = jax.lax.broadcasted_iota(jnp.int32, qa_blk.shape, 2)
     # s = 0 has only the self-loop in-edge, factor 1
@@ -380,11 +346,10 @@ def _bwd_kernel(
     edge_self = jnp.where(lane_s3 == 0, 1.0, hori)
     acc_self[:] += jnp.sum(gq * edge_self * w, axis=0)
     acc_diag[:] += jnp.sum(gq * diag * w, axis=0)
-    qa_prev_c[:] = qa_blk[kb - 1]
 
     @pl.when(k == nb - 1)
     def _():
-        gt_ref[:] = acc_t[:] * e_ref[:]  # dT[i,j] = acc[i,j] exp(T[i,j]-c)
+        gt_ref[:] = acc_t[:] * e  # dT[i,j] = acc[i,j] exp(T[i,j] - c)
         gself_ref[:] = acc_self[:]
         # next_trans[b, s] feeds state s+1: shift the diagonal mass down.
         gnext_ref[:] = _rot_left(acc_diag[:], 0.0)
@@ -409,65 +374,28 @@ def _desc(kb, b, x, nb):
     )
 
 
-def _run_fwd(li_col, lo_col, e, e_t, self_p, next_p, ip, ap, num_labels):
-    t_pad, b_pad, n_pad = ip.shape
-    s_pad = ap.shape[2]
+def _run_fwd(li_col, lo_col, e, self_p, next_p, ip, ap, geom, store):
+    num_labels, n_pad, s_pad = geom
+    t_pad, b_pad, n_raw = ip.shape
+    s_raw = ap.shape[2]
     kb = ASG_TIME_BLOCK
     nb = t_pad // kb
-    dt = ip.dtype
-    kern = functools.partial(_fwd_kernel, kb=kb, num_labels=num_labels)
-    return pl.pallas_call(
-        kern,
-        grid=(nb,),
-        in_specs=[
-            _const((b_pad, 1)),
-            _const((b_pad, 1)),
-            _const((n_pad, n_pad)),
-            _const((n_pad, n_pad)),
-            _const((b_pad, s_pad)),
-            _const((b_pad, s_pad)),
-            _asc(kb, b_pad, n_pad),
+    dt = e.dtype
+    kern = functools.partial(
+        _fwd_kernel, kb=kb, num_labels=num_labels, store=store
+    )
+    score_shape = jax.ShapeDtypeStruct((b_pad, 1), dt)
+    out_specs = [_const((b_pad, 1)), _const((b_pad, 1))]
+    out_shape = [score_shape, score_shape]
+    if store:
+        out_specs = [
             _desc(kb, b_pad, n_pad, nb),
-            _asc(kb, b_pad, s_pad),
             _desc(kb, b_pad, s_pad, nb),
-        ],
-        out_specs=[
-            _asc(kb, b_pad, n_pad),
-            _desc(kb, b_pad, n_pad, nb),
-            _asc(kb, b_pad, s_pad),
-            _desc(kb, b_pad, s_pad, nb),
-            _const((b_pad, 1)),
-            _const((b_pad, 1)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(ip.shape, dt),
-            jax.ShapeDtypeStruct(ip.shape, dt),
-            jax.ShapeDtypeStruct(ap.shape, dt),
-            jax.ShapeDtypeStruct(ap.shape, dt),
-            jax.ShapeDtypeStruct((b_pad, 1), dt),
-            jax.ShapeDtypeStruct((b_pad, 1), dt),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((b_pad, n_pad), dt),
-            pltpu.VMEM((b_pad, n_pad), dt),
-            pltpu.VMEM((b_pad, s_pad), dt),
-            pltpu.VMEM((b_pad, s_pad), dt),
-            pltpu.VMEM((b_pad, 1), dt),
-            pltpu.VMEM((b_pad, n_pad), dt),
-            pltpu.VMEM((b_pad, 1), dt),
-            pltpu.VMEM((b_pad, s_pad), dt),
-        ],
-        interpret=use_interpret(),
-    )(li_col, lo_col, e, e_t, self_p, next_p, ip, ip, ap, ap)
-
-
-def _run_score(li_col, lo_col, e, self_p, next_p, ip, ap, num_labels):
-    t_pad, b_pad, n_pad = ip.shape
-    s_pad = ap.shape[2]
-    kb = ASG_TIME_BLOCK
-    nb = t_pad // kb
-    dt = ip.dtype
-    kern = functools.partial(_score_kernel, kb=kb, num_labels=num_labels)
+        ] + out_specs
+        out_shape = [
+            jax.ShapeDtypeStruct((t_pad, b_pad, n_pad), dt),
+            jax.ShapeDtypeStruct((t_pad, b_pad, s_pad), dt),
+        ] + out_shape
     return pl.pallas_call(
         kern,
         grid=(nb,),
@@ -477,14 +405,11 @@ def _run_score(li_col, lo_col, e, self_p, next_p, ip, ap, num_labels):
             _const((n_pad, n_pad)),
             _const((b_pad, s_pad)),
             _const((b_pad, s_pad)),
-            _desc(kb, b_pad, n_pad, nb),
-            _desc(kb, b_pad, s_pad, nb),
+            _desc(kb, b_pad, n_raw, nb),
+            _desc(kb, b_pad, s_raw, nb),
         ],
-        out_specs=[_const((b_pad, 1)), _const((b_pad, 1))],
-        out_shape=[
-            jax.ShapeDtypeStruct((b_pad, 1), dt),
-            jax.ShapeDtypeStruct((b_pad, 1), dt),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((b_pad, n_pad), dt),
             pltpu.VMEM((b_pad, s_pad), dt),
@@ -497,27 +422,32 @@ def _run_score(li_col, lo_col, e, self_p, next_p, ip, ap, num_labels):
     )(li_col, lo_col, e, self_p, next_p, ip, ap)
 
 
-def _run_bwd(gful_col, gfac_col, e, e_t, self_p, next_p, pa, pb, qa, qb, ap):
-    t_pad, b_pad, n_pad = pa.shape
-    s_pad = qa.shape[2]
+def _run_bwd(
+    li_col, lo_col, gful_col, gfac_col, e, e_t, self_p, next_p, ip, ap, pb, qb,
+    geom,
+):
+    num_labels, n_pad, s_pad = geom
+    t_pad, b_pad, n_raw = ip.shape
+    s_raw = ap.shape[2]
     kb = ASG_TIME_BLOCK
     nb = t_pad // kb
-    dt = pa.dtype
-    kern = functools.partial(_bwd_kernel, kb=kb)
+    dt = e.dtype
+    kern = functools.partial(_bwd_kernel, kb=kb, num_labels=num_labels)
     return pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[
             _const((b_pad, 1)),
             _const((b_pad, 1)),
+            _const((b_pad, 1)),
+            _const((b_pad, 1)),
             _const((n_pad, n_pad)),
             _const((n_pad, n_pad)),
             _const((b_pad, s_pad)),
             _const((b_pad, s_pad)),
+            _asc(kb, b_pad, n_raw),
+            _asc(kb, b_pad, s_raw),
             _asc(kb, b_pad, n_pad),
-            _asc(kb, b_pad, n_pad),
-            _asc(kb, b_pad, s_pad),
-            _asc(kb, b_pad, s_pad),
             _asc(kb, b_pad, s_pad),
         ],
         out_specs=[
@@ -528,8 +458,8 @@ def _run_bwd(gful_col, gfac_col, e, e_t, self_p, next_p, pa, pb, qa, qb, ap):
             _const((b_pad, s_pad)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(pa.shape, dt),
-            jax.ShapeDtypeStruct(qa.shape, dt),
+            jax.ShapeDtypeStruct((t_pad, b_pad, n_pad), dt),
+            jax.ShapeDtypeStruct((t_pad, b_pad, s_pad), dt),
             jax.ShapeDtypeStruct((n_pad, n_pad), dt),
             jax.ShapeDtypeStruct((b_pad, s_pad), dt),
             jax.ShapeDtypeStruct((b_pad, s_pad), dt),
@@ -537,12 +467,14 @@ def _run_bwd(gful_col, gfac_col, e, e_t, self_p, next_p, pa, pb, qa, qb, ap):
         scratch_shapes=[
             pltpu.VMEM((b_pad, n_pad), dt),
             pltpu.VMEM((b_pad, s_pad), dt),
+            pltpu.VMEM((kb, b_pad, n_pad), dt),
+            pltpu.VMEM((kb, b_pad, s_pad), dt),
             pltpu.VMEM((n_pad, n_pad), dt),
             pltpu.VMEM((b_pad, s_pad), dt),
             pltpu.VMEM((b_pad, s_pad), dt),
         ],
         interpret=use_interpret(),
-    )(gful_col, gfac_col, e, e_t, self_p, next_p, pa, pb, qa, qb, ap)
+    )(li_col, lo_col, gful_col, gfac_col, e, e_t, self_p, next_p, ip, ap, pb, qb)
 
 
 # ---------------------------------------------------------------------------
@@ -551,8 +483,9 @@ def _run_bwd(gful_col, gfac_col, e, e_t, self_p, next_p, pa, pb, qa, qb, ap):
 
 
 def _prepare(transition, inputs, targets, input_lengths, target_lengths):
+    """Gathers + geometry.  No emission-sized mask/pad copies happen here:
+    the kernels lane-pad and length-mask in VMEM."""
     lat = make_aligned(transition, inputs, targets, input_lengths, target_lengths)
-    inputs_m = mask_emissions(inputs, input_lengths)
     t_total, num_batches, num_labels = inputs.shape
     s_total = targets.shape[1]
     kb = ASG_TIME_BLOCK
@@ -562,7 +495,7 @@ def _prepare(transition, inputs, targets, input_lengths, target_lengths):
     t_pad = round_up(t_total, kb)
 
     ip = pad_axis(
-        pad_axis(pad_axis(inputs_m, n_pad, 2, NEG_INF), b_pad, 1, NEG_INF),
+        pad_axis(pad_axis(inputs, n_pad, 2, NEG_INF), b_pad, 1, NEG_INF),
         t_pad, 0, NEG_INF,
     )
     ap = pad_axis(
@@ -572,7 +505,7 @@ def _prepare(transition, inputs, targets, input_lengths, target_lengths):
     # Any finite c works (it cancels against the (L_in-1)*c repayment);
     # the max keeps every exp argument <= 0.
     c = jnp.max(transition)
-    c = jnp.where(jnp.isfinite(c), c, 0.0).astype(ip.dtype)
+    c = jnp.where(jnp.isfinite(c), c, 0.0).astype(inputs.dtype)
     trans_p = pad_axis(pad_axis(transition, n_pad, 0, NEG_INF), n_pad, 1, NEG_INF)
     e = jnp.exp(trans_p - c)  # e[j, i] = exp(T[j,i] - c); beta contracts j
     e_t = e.T  # alpha contracts source labels
@@ -603,15 +536,17 @@ def asg_scores_fused(
 ):
     """(full_scores, aligned_scores), each (B,) — one fused TPU kernel.
 
-    The primal runs the score-only kernel (beta chains only), reproducing
-    the reference's forward-only fast path (streamlined_fast_gpu.cpp:24-94)
-    with one launch instead of two streams.
+    The primal runs the beta walk without stores (forward-only scoring,
+    mirroring ``streamlined_fast_gpu.cpp:24-94``).
     """
     lat, ip, ap, e, e_t, self_p, next_p, li_col, lo_col, c, dims = _prepare(
         transition, inputs, targets, input_lengths, target_lengths
     )
     num_batches, num_labels = dims[1], dims[2]
-    sful, sfac = _run_score(li_col, lo_col, e, self_p, next_p, ip, ap, num_labels)
+    geom = (num_labels, dims[5], dims[6])
+    sful, sfac = _run_fwd(
+        li_col, lo_col, e, self_p, next_p, ip, ap, geom, store=False
+    )
     return _fix_scores(sful, sfac, input_lengths, c, num_batches)
 
 
@@ -620,22 +555,25 @@ def _fused_fwd(transition, inputs, targets, input_lengths, target_lengths):
         transition, inputs, targets, input_lengths, target_lengths
     )
     num_batches, num_labels = dims[1], dims[2]
-    pa, pb, qa, qb, sful, sfac = _run_fwd(
-        li_col, lo_col, e, e_t, self_p, next_p, ip, ap, num_labels
+    geom = (num_labels, dims[5], dims[6])
+    pb, qb, sful, sfac = _run_fwd(
+        li_col, lo_col, e, self_p, next_p, ip, ap, geom, store=True
     )
     scores = _fix_scores(sful, sfac, input_lengths, c, num_batches)
-    res = (lat, e, e_t, self_p, next_p, pa, pb, qa, qb, ap, dims)
+    res = (lat, ip, ap, e, e_t, self_p, next_p, li_col, lo_col, pb, qb, dims)
     return scores, res
 
 
 def _fused_bwd(res, g):
     gful, gfac = g
-    lat, e, e_t, self_p, next_p, pa, pb, qa, qb, ap, dims = res
+    lat, ip, ap, e, e_t, self_p, next_p, li_col, lo_col, pb, qb, dims = res
     t_total, num_batches, num_labels, s_total, b_pad, n_pad, s_pad = dims
-    gful_col = pad_axis(gful.astype(pa.dtype), b_pad, 0, 0.0)[:, None]
-    gfac_col = pad_axis(gfac.astype(pa.dtype), b_pad, 0, 0.0)[:, None]
+    geom = (num_labels, n_pad, s_pad)
+    gful_col = pad_axis(gful.astype(ip.dtype), b_pad, 0, 0.0)[:, None]
+    gfac_col = pad_axis(gfac.astype(ip.dtype), b_pad, 0, 0.0)[:, None]
     gi, gali, gt, gself, gnext = _run_bwd(
-        gful_col, gfac_col, e, e_t, self_p, next_p, pa, pb, qa, qb, ap
+        li_col, lo_col, gful_col, gfac_col, e, e_t, self_p, next_p, ip, ap,
+        pb, qb, geom,
     )
     grad_inputs = gi[:t_total, :num_batches, :num_labels]
     grad_transition = gt[:num_labels, :num_labels]
