@@ -50,21 +50,28 @@ def fetch_overhead_ms():
     return (time.perf_counter() - t0) / 3 * 1e3
 
 
-def timed_chained(step, trans, inputs, fetch_ms):
-    """step: (trans, inputs) -> (loss, grad_inputs). Chains grad -> inputs."""
+def timed_chained(step, trans, inputs, fetch_ms, repeats=3):
+    """step: (trans, inputs) -> (loss, grad_inputs). Chains grad -> inputs.
+
+    Best of ``repeats`` timing loops: shared-tunnel TPU access shows
+    ~2x run-to-run variance; the minimum is the honest device cost.
+    """
     cur = inputs
     for _ in range(WARMUP):
         loss, gi = step(trans, cur)
         cur = inputs + 0.0 * gi
     float(loss)  # hard sync
-    t0 = time.perf_counter()
-    cur = inputs
-    for _ in range(ITERS):
-        loss, gi = step(trans, cur)
-        cur = inputs + 0.0 * gi
-    float(loss)  # hard sync: forces the whole chain to have executed
-    total = (time.perf_counter() - t0) * 1e3
-    return max(total - fetch_ms, 1e-6) / ITERS
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        cur = inputs
+        for _ in range(ITERS):
+            loss, gi = step(trans, cur)
+            cur = inputs + 0.0 * gi
+        float(loss)  # hard sync: forces the whole chain to have executed
+        total = (time.perf_counter() - t0) * 1e3
+        best = min(best, max(total - fetch_ms, 1e-6) / ITERS)
+    return best
 
 
 def main():
@@ -125,6 +132,21 @@ def main():
     frames = B * T
     best = min(t_scan, t_fused)
 
+    # secondary paths for the record: forward-only scoring + Viterbi decode
+    def fwd_only_step(tr, inp):
+        loss = asg_loss(tr, inp, targets, li, lo, reduction="mean", impl="fused")
+        return loss, loss[None, None, None] + 0.0 * inp
+
+    t_fwd = timed_chained(jax.jit(fwd_only_step), trans, inputs, fetch_ms)
+
+    from torch_asg_tpu import viterbi_decode
+
+    def vit_step(tr, inp):
+        res = viterbi_decode(tr, inp, li)
+        return res.scores.sum(), res.scores.sum()[None, None, None] + 0.0 * inp
+
+    t_vit = timed_chained(jax.jit(vit_step), trans, inputs, fetch_ms)
+
     print(
         json.dumps(
             {
@@ -135,6 +157,8 @@ def main():
                 "detail": {
                     "fused_ms": round(t_fused, 3),
                     "xla_scan_ms": round(t_scan, 3),
+                    "forward_only_ms": round(t_fwd, 3),
+                    "viterbi_decode_ms": round(t_vit, 3),
                     "backend": jax.default_backend(),
                     "note": (
                         "reference publishes no numbers; vs_baseline = "

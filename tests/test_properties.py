@@ -1,0 +1,114 @@
+"""Property-based invariants of the ASG criterion.
+
+These hold for ANY inputs by the math, so they make cheap wide-coverage
+tests: the loss is a log-partition difference over nested path sets, hence
+always >= 0; temperature scaling commutes the way the tech report's
+generalized semiring says; impl dispatch degrades gracefully.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_asg_tpu import ASGLoss, asg_loss
+from torch_asg_tpu.asg import _FUSED_MAX_WIDTH, _resolve_impl
+
+
+def _case(rng, t_total, num_batches, s_total, num_labels):
+    inputs = jnp.asarray(rng.normal(size=(t_total, num_batches, num_labels)) * 3)
+    trans = jnp.asarray(rng.normal(size=(num_labels, num_labels)))
+    targets = jnp.asarray(
+        rng.integers(0, num_labels, size=(num_batches, s_total)), jnp.int32
+    )
+    li = jnp.asarray(
+        rng.integers(s_total, t_total + 1, size=(num_batches,)), jnp.int32
+    )
+    lo = jnp.asarray(rng.integers(1, s_total + 1, size=(num_batches,)), jnp.int32)
+    return trans, inputs, targets, li, lo
+
+
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("impl", ["scan", "fused"])
+def test_loss_nonnegative(seed, impl):
+    """The aligned paths are a subset of all paths: full >= aligned."""
+    rng = np.random.default_rng(seed)
+    trans, inputs, targets, li, lo = _case(rng, 14, 4, 5, 7)
+    loss = asg_loss(trans, inputs, targets, li, lo, reduction="none", impl=impl)
+    assert np.all(np.asarray(loss) >= -1e-9), loss
+
+
+def test_temperature_identity(rng):
+    """tau = 1 equals the plain loss; tau scaling = tau * loss(x / tau)."""
+    trans, inputs, targets, li, lo = _case(rng, 11, 3, 4, 6)
+    base = asg_loss(trans, inputs, targets, li, lo, reduction="none", impl="scan")
+    t1 = asg_loss(
+        trans, inputs, targets, li, lo, reduction="none", impl="scan",
+        temperature=1.0,
+    )
+    np.testing.assert_allclose(t1, base, rtol=1e-12)
+    tau = 0.5
+    scaled = asg_loss(
+        trans, inputs, targets, li, lo, reduction="none", impl="scan",
+        temperature=tau,
+    )
+    manual = tau * asg_loss(
+        trans / tau, inputs / tau, targets, li, lo, reduction="none", impl="scan"
+    )
+    np.testing.assert_allclose(scaled, manual, rtol=1e-10)
+
+
+def test_temperature_approaches_viterbi(rng):
+    """tau -> 0 approaches the tropical (max) semiring loss."""
+    from torch_asg_tpu import viterbi_align, viterbi_decode
+
+    trans, inputs, targets, li, lo = _case(rng, 11, 2, 4, 6)
+    tau = 1e-3
+    loss_tau = asg_loss(
+        trans, inputs, targets, li, lo, reduction="none", impl="scan",
+        temperature=tau,
+    )
+    best_full = viterbi_decode(trans, inputs, li).scores
+    best_ali = viterbi_align(trans, inputs, targets, li, lo).scores
+    np.testing.assert_allclose(loss_tau, best_full - best_ali, atol=0.05)
+
+
+def test_module_temperature_matches_functional(rng):
+    trans, inputs, targets, li, lo = _case(rng, 9, 2, 3, 5)
+    m = ASGLoss.create(5, temperature=2.0, impl="scan")
+    m = m.__class__(**{**m.__dict__, "transition": trans})
+    out_m = m(inputs, targets, li, lo)
+    out_f = asg_loss(
+        trans, inputs, targets, li, lo, reduction="mean", impl="scan",
+        temperature=2.0,
+    )
+    np.testing.assert_allclose(out_m, out_f, rtol=1e-12)
+
+
+def test_auto_falls_back_to_scan_for_wide_vocab():
+    """'auto' must not route giant vocabularies at the VMEM-resident kernel."""
+    fn_small = _resolve_impl("auto", 30, 50)
+    fn_big = _resolve_impl("auto", _FUSED_MAX_WIDTH + 1, 50)
+    assert fn_small.__name__ == "asg_scores_fused"
+    assert fn_big.__name__ == "scores_scan"
+
+
+@pytest.mark.parametrize("impl", ["scan", "fused"])
+def test_loss_zero_iff_single_path(rng, impl):
+    """With one target spanning every frame via forced self-loops and a
+    one-hot-certain emission sequence, full ~= aligned (loss -> 0 as the
+    emissions sharpen)."""
+    t_total, num_labels = 6, 4
+    scale = 30.0
+    emis = np.full((t_total, 1, num_labels), -scale, np.float64)
+    emis[:, 0, 2] = scale  # label 2 certain at every frame
+    inputs = jnp.asarray(emis)
+    trans = jnp.zeros((num_labels, num_labels))
+    targets = jnp.asarray([[2]], jnp.int32)
+    loss = asg_loss(
+        trans, inputs, targets,
+        jnp.asarray([t_total], jnp.int32), jnp.asarray([1], jnp.int32),
+        reduction="none", impl=impl,
+    )
+    assert float(loss[0]) >= -1e-9
+    assert float(loss[0]) < 1e-6  # all competing paths are ~e^-60 down

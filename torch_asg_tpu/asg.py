@@ -60,15 +60,25 @@ def _reduce(result: jnp.ndarray, reduction: str) -> jnp.ndarray:
     raise ValueError(f"unknown reduction {reduction!r}; expected one of {REDUCTIONS}")
 
 
-def _resolve_impl(impl: str):
+# Largest padded label/target widths the fused kernel keeps VMEM-resident
+# (the (N_pad, N_pad) transition exponentials must fit on-chip).  Beyond
+# this, 'auto' falls back to the HBM-streaming scan path; vocabularies in
+# the many-thousands belong on parallel.asg_loss_vp (sharded transitions).
+_FUSED_MAX_WIDTH = 1024
+
+
+def _resolve_impl(impl: str, num_labels: int = 0, s_total: int = 0):
     """Returns scores_fn(transition, inputs, targets, li, lo) -> (full, aligned).
 
     'fused'/'auto': the single fused Pallas kernel computing both lattices
     (the TPU answer to the reference's 4-stream orchestration, C11);
     'pallas': the per-lattice Pallas kernels; 'scan': the pure-jnp
     lax.scan oracle (parity/debug path, analogous to the reference's
-    gpu_no_stream_impl switch).
+    gpu_no_stream_impl switch).  'auto' degrades to 'scan' when the label
+    or target width exceeds the fused kernel's VMEM budget.
     """
+    if impl == "auto" and max(num_labels, s_total) > _FUSED_MAX_WIDTH:
+        impl = "scan"
     if impl == "scan":
 
         def scores_scan(transition, inputs, targets, li, lo):
@@ -128,7 +138,7 @@ def asg_loss(
     )
     if temperature <= 0.0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
-    scores_fn = _resolve_impl(impl)
+    scores_fn = _resolve_impl(impl, inputs.shape[2], targets.shape[1])
     if temperature != 1.0:
         inv = 1.0 / temperature
         transition = transition * inv
@@ -159,7 +169,7 @@ def asg_scores(
     targets, input_lengths, target_lengths = _prep(
         inputs, targets, input_lengths, target_lengths
     )
-    scores_fn = _resolve_impl(impl)
+    scores_fn = _resolve_impl(impl, inputs.shape[2], targets.shape[1])
     return scores_fn(transition, inputs, targets, input_lengths, target_lengths)
 
 

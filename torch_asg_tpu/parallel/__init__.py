@@ -1,10 +1,14 @@
 from .data_parallel import asg_loss_dp, shard_batch
+from .distributed import init_distributed, local_batch_slice, make_hybrid_mesh
 from .mesh import make_mesh
 from .sequence_parallel import asg_loss_seq
 from .vocab_parallel import asg_loss_vp, fcc_score_vp
 
 __all__ = [
     "make_mesh",
+    "make_hybrid_mesh",
+    "init_distributed",
+    "local_batch_slice",
     "asg_loss_dp",
     "shard_batch",
     "asg_loss_vp",

@@ -1,0 +1,125 @@
+"""Multi-host (pod-slice) initialization and hybrid DCN x ICI meshes.
+
+The reference is a single-process, single-device library (SURVEY.md
+section 2: no torch.distributed / NCCL / MPI anywhere).  Scaling the
+criterion across a TPU pod slice needs three things, all thin and
+deliberately boring:
+
+  1. process bring-up: ``jax.distributed.initialize`` with retry, so a
+     restarted worker can rejoin a training job (elastic-ish recovery —
+     the coordinator hands back the same process id on reconnect);
+  2. a mesh whose data axis spans hosts over DCN while model/seq axes
+     stay inside a host's ICI domain (collectives on the inner axes never
+     cross the slow network) — ``make_hybrid_mesh``;
+  3. batch bookkeeping: every host feeds only its local shard —
+     ``local_batch_slice``.
+
+On a single host everything degrades to no-ops, so the same training
+script runs anywhere.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    *,
+    retries: int = 3,
+    retry_delay_s: float = 5.0,
+) -> bool:
+    """Initialize jax.distributed with retry; returns True when multi-host.
+
+    With no arguments, uses the TPU pod environment auto-detection.  On a
+    single host (or when initialization is already done) this is a no-op
+    returning False/True accordingly.  Retries cover the restarted-worker
+    case: the coordinator accepts a rejoining process id.
+    """
+    if jax.process_count() > 1:
+        return True  # already initialized by the runtime
+    last_err = None
+    for _ in range(max(1, retries)):
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+            return jax.process_count() > 1
+        except RuntimeError as e:
+            msg = str(e)
+            if "already initialized" in msg:
+                return jax.process_count() > 1
+            if "must be called before" in msg:
+                # the XLA backend is already up (e.g. library imported
+                # late in an interactive session): nothing to do, report
+                # the topology the runtime landed on
+                return jax.process_count() > 1
+            last_err = e
+            time.sleep(retry_delay_s)
+        except ValueError:
+            # single-process environment without coordinator config
+            return False
+    if last_err is not None:
+        raise last_err
+    return False
+
+
+def make_hybrid_mesh(
+    inner_sizes: Sequence[int] = (),
+    inner_names: Sequence[str] = (),
+    *,
+    data_axis: str = "data",
+) -> Mesh:
+    """('data', *inner) mesh: data-parallel across hosts (DCN), inner axes
+    (model/seq) within each host's ICI domain.
+
+    The transition-gradient psum of the data axis is the only collective
+    that may cross DCN; everything the vocab/sequence-sharded paths emit
+    (all_gather / psum over the inner axes) stays on ICI.
+    """
+    inner_sizes = tuple(int(s) for s in inner_sizes)
+    inner = int(np.prod(inner_sizes)) if inner_sizes else 1
+    n_local = jax.local_device_count()
+    if inner > n_local or n_local % inner != 0:
+        raise ValueError(
+            f"inner axes {inner_sizes} need a divisor of the per-host "
+            f"device count {n_local}"
+        )
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (n_local // inner, *inner_sizes) if inner_sizes
+            else (n_local,),
+            ((jax.process_count(), *([1] * len(inner_sizes)))
+             if inner_sizes else (jax.process_count(),)),
+        )
+    except Exception:
+        # single-host or exotic topology: plain reshape is correct
+        devices = np.asarray(jax.devices())
+        arr = devices.reshape(
+            (jax.device_count() // inner, *inner_sizes)
+            if inner_sizes else (jax.device_count(),)
+        )
+    return Mesh(arr, (data_axis, *tuple(inner_names)))
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """The slice of a globally-indexed batch this host should load."""
+    per = global_batch // jax.process_count()
+    if per * jax.process_count() != global_batch:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by "
+            f"{jax.process_count()} processes"
+        )
+    start = jax.process_index() * per
+    return slice(start, start + per)

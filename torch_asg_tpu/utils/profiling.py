@@ -26,7 +26,13 @@ def trace(log_dir: Optional[str]):
 
 
 def time_fn(fn: Callable, *args, warmup: int = 3, iters: int = 10) -> float:
-    """Steady-state seconds per call (blocks on device results)."""
+    """Steady-state seconds per call (blocks on device results).
+
+    Caveat: through remote-TPU tunnels, block_until_ready can acknowledge
+    before execution completes and identical dispatches may be coalesced,
+    yielding physically impossible numbers.  Prefer ``time_fn_chained``
+    for anything that matters.
+    """
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
@@ -35,3 +41,44 @@ def time_fn(fn: Callable, *args, warmup: int = 3, iters: int = 10) -> float:
         out = fn(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
+
+
+def fetch_overhead_s(samples: int = 3) -> float:
+    """Fixed host<->device round-trip cost of fetching one scalar."""
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    t = jnp.zeros((1,))
+    float(f(t)[0])
+    t0 = time.perf_counter()
+    for _ in range(samples):
+        float(f(t)[0])
+    return (time.perf_counter() - t0) / samples
+
+
+def time_fn_chained(
+    step: Callable, feedback: Callable, x0, warmup: int = 2, iters: int = 20
+) -> float:
+    """Honest seconds per call: each iteration's input depends on the
+    previous output (defeats dispatch coalescing / early-ack), and the
+    loop is closed by fetching a scalar to the host (forces completion).
+
+    step(x) -> out; feedback(x0, out) -> next x (must touch ``out``).
+    """
+    import jax.numpy as jnp
+
+    fetch = fetch_overhead_s()
+    cur = x0
+    for _ in range(max(1, warmup)):
+        out = step(cur)
+        cur = feedback(x0, out)
+    probe = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.ravel(probe)[0])
+    t0 = time.perf_counter()
+    cur = x0
+    for _ in range(iters):
+        out = step(cur)
+        cur = feedback(x0, out)
+    probe = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.ravel(probe)[0])
+    return max((time.perf_counter() - t0) - fetch, 1e-9) / iters
