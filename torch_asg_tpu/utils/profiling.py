@@ -43,31 +43,43 @@ def time_fn(fn: Callable, *args, warmup: int = 3, iters: int = 10) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def fetch_overhead_s(samples: int = 3) -> float:
-    """Fixed host<->device round-trip cost of fetching one scalar."""
+def fetch_overhead_s(samples: int = 5) -> float:
+    """Fixed host<->device round-trip cost of fetching one scalar (median).
+
+    Measure this ONCE per process and pass it into time_fn_chained when
+    benchmarking several things: the fetch cost has multi-ms jitter, and
+    re-sampling it per measurement lets min-taking pair a lucky fetch
+    estimate with a lucky loop — producing impossibly low results.
+    """
+    import statistics
+
     import jax.numpy as jnp
 
     f = jax.jit(lambda x: x + 1)
     t = jnp.zeros((1,))
     float(f(t)[0])
-    t0 = time.perf_counter()
+    obs = []
     for _ in range(samples):
+        t0 = time.perf_counter()
         float(f(t)[0])
-    return (time.perf_counter() - t0) / samples
+        obs.append(time.perf_counter() - t0)
+    return statistics.median(obs)
 
 
 def time_fn_chained(
-    step: Callable, feedback: Callable, x0, warmup: int = 2, iters: int = 20
+    step: Callable, feedback: Callable, x0, warmup: int = 2, iters: int = 30,
+    fetch_s: Optional[float] = None,
 ) -> float:
     """Honest seconds per call: each iteration's input depends on the
     previous output (defeats dispatch coalescing / early-ack), and the
     loop is closed by fetching a scalar to the host (forces completion).
 
     step(x) -> out; feedback(x0, out) -> next x (must touch ``out``).
+    Use enough ``iters`` that the loop dwarfs the ~25-30 ms fetch cost.
     """
     import jax.numpy as jnp
 
-    fetch = fetch_overhead_s()
+    fetch = fetch_overhead_s() if fetch_s is None else fetch_s
     cur = x0
     for _ in range(max(1, warmup)):
         out = step(cur)
