@@ -20,7 +20,7 @@ chain-plus-fetch forces real sequential device execution.
 
 import json
 import sys
-import time
+
 
 import jax
 import jax.numpy as jnp
@@ -40,38 +40,23 @@ def make_case(dtype=jnp.float32):
     return trans, inputs, targets, li, lo
 
 
-def fetch_overhead_ms():
-    t = jnp.zeros((1,))
-    f = jax.jit(lambda x: x + 1)
-    float(f(t)[0])
-    t0 = time.perf_counter()
-    for _ in range(3):
-        float(f(t)[0])
-    return (time.perf_counter() - t0) / 3 * 1e3
+def timed_chained(step, trans, inputs, fetch_s, repeats=3):
+    """Best-of-``repeats`` chained timing (ms) via the canonical harness
+    in utils.profiling: shared-tunnel TPU access shows ~2x run-to-run
+    variance; the minimum is the honest device cost."""
+    from torch_asg_tpu.utils.profiling import time_fn_chained
 
+    def feedback(x0, out):
+        return x0 + 0.0 * out[1]
 
-def timed_chained(step, trans, inputs, fetch_ms, repeats=3):
-    """step: (trans, inputs) -> (loss, grad_inputs). Chains grad -> inputs.
-
-    Best of ``repeats`` timing loops: shared-tunnel TPU access shows
-    ~2x run-to-run variance; the minimum is the honest device cost.
-    """
-    cur = inputs
-    for _ in range(WARMUP):
-        loss, gi = step(trans, cur)
-        cur = inputs + 0.0 * gi
-    float(loss)  # hard sync
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        cur = inputs
-        for _ in range(ITERS):
-            loss, gi = step(trans, cur)
-            cur = inputs + 0.0 * gi
-        float(loss)  # hard sync: forces the whole chain to have executed
-        total = (time.perf_counter() - t0) * 1e3
-        best = min(best, max(total - fetch_ms, 1e-6) / ITERS)
-    return best
+    best = min(
+        time_fn_chained(
+            lambda i: step(trans, i), feedback, inputs,
+            warmup=WARMUP, iters=ITERS, fetch_s=fetch_s,
+        )
+        for _ in range(repeats)
+    )
+    return best * 1e3
 
 
 def main():
@@ -126,9 +111,11 @@ def main():
         )
         return 1
 
-    fetch_ms = fetch_overhead_ms()
-    t_scan = timed_chained(scan_step, trans, inputs, fetch_ms)
-    t_fused = timed_chained(fused_step, trans, inputs, fetch_ms)
+    from torch_asg_tpu.utils.profiling import fetch_overhead_s
+
+    fetch_s = fetch_overhead_s()
+    t_scan = timed_chained(scan_step, trans, inputs, fetch_s)
+    t_fused = timed_chained(fused_step, trans, inputs, fetch_s)
     frames = B * T
     best = min(t_scan, t_fused)
 
@@ -137,7 +124,7 @@ def main():
         loss = asg_loss(tr, inp, targets, li, lo, reduction="mean", impl="fused")
         return loss, loss[None, None, None] + 0.0 * inp
 
-    t_fwd = timed_chained(jax.jit(fwd_only_step), trans, inputs, fetch_ms)
+    t_fwd = timed_chained(jax.jit(fwd_only_step), trans, inputs, fetch_s)
 
     from torch_asg_tpu import viterbi_decode
 
@@ -145,7 +132,7 @@ def main():
         res = viterbi_decode(tr, inp, li)
         return res.scores.sum(), res.scores.sum()[None, None, None] + 0.0 * inp
 
-    t_vit = timed_chained(jax.jit(vit_step), trans, inputs, fetch_ms)
+    t_vit = timed_chained(jax.jit(vit_step), trans, inputs, fetch_s)
 
     print(
         json.dumps(

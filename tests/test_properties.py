@@ -93,6 +93,31 @@ def test_auto_falls_back_to_scan_for_wide_vocab():
     assert fn_big.__name__ == "scores_scan"
 
 
+@pytest.mark.parametrize("impl", ["scan", "pallas", "fused"])
+def test_neg_inf_transitions_stay_finite(rng, impl):
+    """-inf transition entries (forbidden bigrams) are legal log-semiring
+    values: losses/grads of untouched paths must stay finite, never NaN
+    (regression: the one-hot transition gather once produced 0 * -inf)."""
+    trans, inputs, targets, li, lo = _case(rng, 10, 3, 4, 6)
+    # forbid a bigram no target uses: labels are in [0, 6); pick (5 -> 5)
+    # only if 5 is never followed by 5 in targets; force targets clear
+    targets = jnp.where(targets == 5, 4, targets)
+    trans = trans.at[5, 5].set(float("-inf"))
+    loss = asg_loss(trans, inputs, targets, li, lo, reduction="none", impl=impl)
+    assert np.all(np.isfinite(np.asarray(loss))), loss
+    g = jax.grad(
+        lambda tr, i: asg_loss(tr, i, targets, li, lo, reduction="sum",
+                               impl=impl),
+        (0, 1),
+    )(trans, inputs)
+    assert not np.any(np.isnan(np.asarray(g[0])))
+    assert not np.any(np.isnan(np.asarray(g[1])))
+    # parity with the scan oracle under the same forbidden bigram
+    ref = asg_loss(trans, inputs, targets, li, lo, reduction="none",
+                   impl="scan")
+    np.testing.assert_allclose(loss, ref, rtol=1e-9, atol=1e-9)
+
+
 @pytest.mark.parametrize("impl", ["scan", "fused"])
 def test_loss_zero_iff_single_path(rng, impl):
     """With one target spanning every frame via forced self-loops and a

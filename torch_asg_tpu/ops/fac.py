@@ -95,12 +95,24 @@ def make_aligned(
     # too: advanced-indexing gathers serialize on TPU and cost more than
     # the whole lattice recursion (C10b equivalent, MXU-native).  The
     # masked one-hot makes invalid slots exact zeros with no extra wheres.
+    # -inf transitions (forbidden bigrams — legal log-semiring values) are
+    # sanitized before the matmul (0 * -inf = NaN) and restored via an
+    # indicator matmul, exactly like the emission gather above.
+    tfinite = jnp.isfinite(transition)
+    tsafe = jnp.where(tfinite, transition, 0.0).astype(inputs.dtype)
     tt = jnp.einsum(
-        "bsj,ij->bsi", onehot, transition.astype(inputs.dtype),
+        "bsj,ij->bsi", onehot, tsafe, precision=jax.lax.Precision.HIGHEST,
+    )  # tt[b, s, i] = T[i, y_s] sanitized, 0 where s invalid
+    tbad = jnp.einsum(
+        "bsj,ij->bsi", onehot, (~tfinite).astype(inputs.dtype),
         precision=jax.lax.Precision.HIGHEST,
-    )  # tt[b, s, i] = T[i, y_s], 0 where s invalid
+    )
     self_trans = jnp.einsum("bsi,bsi->bs", tt, onehot)
+    self_bad = jnp.einsum("bsi,bsi->bs", tbad, onehot)
+    self_trans = jnp.where(self_bad > 0.5, NEG_INF, self_trans)
     next_pairs = jnp.einsum("bsi,bsi->bs", tt[:, :-1], onehot[:, 1:])
+    next_bad = jnp.einsum("bsi,bsi->bs", tbad[:, :-1], onehot[:, 1:])
+    next_pairs = jnp.where(next_bad > 0.5, NEG_INF, next_pairs)
     next_trans = jnp.concatenate(
         [next_pairs, jnp.zeros((num_batches, 1), next_pairs.dtype)], axis=1
     )

@@ -314,12 +314,13 @@ def _bwd_kernel(
     # softmax_j(T[i,j] + alpha_{t-1,j}) = E^T[j,i] pa_prev[j] / S[i]:
     # recompute S with one MXU matmul instead of storing path_contrib.
     # S >= exp(T[i,argmax] - c) keeps the division fp32-safe.
-    s_all = jnp.dot(pa_prev_f, e_t, preferred_element_type=dt)
+    s_all = _dot(pa_prev_f, e_t, dt)
     u = gi.reshape(kb_ * b_pad, n_pad) * (
         1.0 / jnp.where(s_all > 0, s_all, 1.0)
     )
     acc_t[:] += jax.lax.dot_general(
-        u, pa_prev_f, (((0,), (0,)), ((), ())), preferred_element_type=dt
+        u, pa_prev_f, (((0,), (0,)), ((), ())), preferred_element_type=dt,
+        precision=CHAIN_PRECISION,
     )
 
     qa_blk = qa_blk_s[:]  # (K, B, S) log-domain alpha

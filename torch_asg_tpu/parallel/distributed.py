@@ -42,9 +42,12 @@ def init_distributed(
     single host (or when initialization is already done) this is a no-op
     returning False/True accordingly.  Retries cover the restarted-worker
     case: the coordinator accepts a rejoining process id.
+
+    Must be the FIRST jax call in the process: this function deliberately
+    avoids touching any backend-initializing API (jax.devices,
+    jax.process_count, ...) before jax.distributed.initialize, which
+    refuses to run once the XLA backend is up.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized by the runtime
     last_err = None
     for _ in range(max(1, retries)):
         try:
@@ -59,9 +62,19 @@ def init_distributed(
             if "already initialized" in msg:
                 return jax.process_count() > 1
             if "must be called before" in msg:
-                # the XLA backend is already up (e.g. library imported
-                # late in an interactive session): nothing to do, report
-                # the topology the runtime landed on
+                # the XLA backend is already up: too late to initialize.
+                # Report the topology the runtime landed on — correct when
+                # the runtime (or an earlier call) did the initialization,
+                # a loud mistake to fix otherwise.
+                import warnings
+
+                warnings.warn(
+                    "init_distributed called after the XLA backend "
+                    "initialized; multi-host setup must happen before any "
+                    "other jax call",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
                 return jax.process_count() > 1
             last_err = e
             time.sleep(retry_delay_s)
@@ -94,17 +107,18 @@ def make_hybrid_mesh(
             f"inner axes {inner_sizes} need a divisor of the per-host "
             f"device count {n_local}"
         )
-    try:
+    if jax.process_count() > 1:
+        # multi-host: the DCN-vs-ICI placement is the point — never fall
+        # back silently, surface topology mismatches to the caller.
         from jax.experimental import mesh_utils
 
         arr = mesh_utils.create_hybrid_device_mesh(
-            (n_local // inner, *inner_sizes) if inner_sizes
-            else (n_local,),
+            (n_local // inner, *inner_sizes) if inner_sizes else (n_local,),
             ((jax.process_count(), *([1] * len(inner_sizes)))
              if inner_sizes else (jax.process_count(),)),
         )
-    except Exception:
-        # single-host or exotic topology: plain reshape is correct
+    else:
+        # single host: every axis is ICI, a plain reshape is exact
         devices = np.asarray(jax.devices())
         arr = devices.reshape(
             (jax.device_count() // inner, *inner_sizes)
