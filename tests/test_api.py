@@ -130,3 +130,21 @@ def test_padding_invariance(rng):
     targets2 = jnp.where(smask, targets, 3)
     out = asg_loss(trans, smash, targets2, li, lo, reduction="none")
     np.testing.assert_allclose(np.asarray(out), np.asarray(base), rtol=1e-10)
+
+
+def test_bf16_inputs_upcast(rng):
+    """bf16/f16 emissions (the TPU encoder norm) compute the loss in f32."""
+    inputs = jnp.asarray(rng.normal(size=(9, 2, 5)), jnp.float32)
+    targets = jnp.asarray(rng.integers(0, 5, size=(2, 3)), jnp.int32)
+    trans = jnp.asarray(rng.normal(size=(5, 5)) * 0.3, jnp.float32)
+    ref = asg_loss(trans, inputs, targets, impl="scan")
+    got = asg_loss(
+        trans.astype(jnp.bfloat16), inputs.astype(jnp.bfloat16), targets,
+        impl="scan",
+    )
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=1e-2)
+    g = jax.grad(
+        lambda tr, i: asg_loss(tr, i, targets, impl="scan"), (0, 1)
+    )(trans.astype(jnp.bfloat16), inputs.astype(jnp.bfloat16))
+    assert g[0].dtype == jnp.bfloat16 and g[1].dtype == jnp.bfloat16

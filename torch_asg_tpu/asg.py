@@ -37,6 +37,12 @@ IMPLS = ("scan", "pallas", "fused", "auto")
 def _prep(inputs, targets, input_lengths, target_lengths):
     t_total, num_batches, _ = inputs.shape
     s_total = targets.shape[1]
+    # bf16/f16 emissions are the TPU norm for encoder outputs, but the
+    # lattice recursions accumulate over T steps: upcast at the criterion
+    # boundary (losses are f32+ territory; the reference is f32/f64-only,
+    # utils.h:33-39).
+    if inputs.dtype in (jnp.bfloat16, jnp.float16):
+        inputs = inputs.astype(jnp.float32)
     if target_lengths is None:
         target_lengths = jnp.full((num_batches,), s_total, dtype=jnp.int32)
     if input_lengths is None:
@@ -47,7 +53,7 @@ def _prep(inputs, targets, input_lengths, target_lengths):
     if s_total > t_total:
         targets = targets[:, :t_total]
         target_lengths = jnp.minimum(target_lengths, t_total)
-    return targets, input_lengths, target_lengths
+    return inputs, targets, input_lengths, target_lengths
 
 
 def _reduce(result: jnp.ndarray, reduction: str) -> jnp.ndarray:
@@ -136,9 +142,11 @@ def asg_loss(
         tau = 1 is the standard log semiring; tau -> 0 approaches the
         tropical (Viterbi) semiring.
     """
-    targets, input_lengths, target_lengths = _prep(
+    inputs, targets, input_lengths, target_lengths = _prep(
         inputs, targets, input_lengths, target_lengths
     )
+    dt = jnp.promote_types(inputs.dtype, transition.dtype)
+    inputs, transition = inputs.astype(dt), transition.astype(dt)
     if temperature <= 0.0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
     scores_fn = _resolve_impl(impl, inputs.shape[2], targets.shape[1])
@@ -169,9 +177,11 @@ def asg_scores(
     Mirrors the tuple the reference's streamed forward returns
     (``streamlined_fast_gpu.cpp:227-229``); useful for lattice rescoring.
     """
-    targets, input_lengths, target_lengths = _prep(
+    inputs, targets, input_lengths, target_lengths = _prep(
         inputs, targets, input_lengths, target_lengths
     )
+    dt = jnp.promote_types(inputs.dtype, transition.dtype)
+    inputs, transition = inputs.astype(dt), transition.astype(dt)
     scores_fn = _resolve_impl(impl, inputs.shape[2], targets.shape[1])
     return scores_fn(transition, inputs, targets, input_lengths, target_lengths)
 
