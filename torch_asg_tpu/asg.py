@@ -67,10 +67,12 @@ def _reduce(result: jnp.ndarray, reduction: str) -> jnp.ndarray:
 
 
 # Largest padded label/target widths the fused kernel keeps VMEM-resident
-# (the (N_pad, N_pad) transition exponentials must fit on-chip).  Beyond
-# this, 'auto' falls back to the HBM-streaming scan path; vocabularies in
-# the many-thousands belong on parallel.asg_loss_vp (sharded transitions).
-_FUSED_MAX_WIDTH = 1024
+# (the (N_pad, N_pad) transition exponentials plus double-buffered block
+# streams must fit in the ~16 MB scoped-VMEM budget; N=1024 was measured
+# to overflow it).  Beyond this, 'auto' falls back to the HBM-streaming
+# scan path; vocabularies in the many-thousands belong on
+# parallel.asg_loss_vp (sharded transitions).
+_FUSED_MAX_WIDTH = 512
 
 
 def _resolve_impl(impl: str, num_labels: int = 0, s_total: int = 0):

@@ -1,0 +1,75 @@
+"""Drop-in API shim matching zh217/torch-asg's module signature.
+
+The reference constructor is ``ASGLoss(num_labels, reduction='mean',
+forward_only=False, gpu_no_stream_impl=False)`` (``torch_asg/asg.py:101``)
+and its forward takes ``(inputs, targets, input_lengths=None,
+target_lengths=None)`` with inputs (T, B, N) / targets (B, S)
+(``asg.py:109``).  This wrapper keeps that exact surface so reference
+users can switch by changing one import:
+
+    from torch_asg_tpu.compat import ASGLoss
+
+Differences that cannot be hidden: the transition matrix is a pytree leaf
+(``.transition``) rather than an ``nn.Parameter`` (optimize it with optax),
+and there is no CUDA/stream dispatch — ``gpu_no_stream_impl=True`` maps to
+the pure-XLA 'scan' path (the same role: the serial/debug implementation,
+``asg.py:124``), while the default uses the fused TPU kernels.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .asg import REDUCTIONS, asg_loss
+
+
+class ASGLoss:
+    """Reference-signature ASG loss front-end (see module docstring).
+
+    Stateful-looking like the reference module, but jit/grad-friendly:
+    pass ``transition=`` explicitly to ``forward`` to differentiate, or
+    read/assign ``.transition`` between steps.
+    """
+
+    def __init__(
+        self,
+        num_labels: int,
+        reduction: str = "mean",
+        forward_only: bool = False,
+        gpu_no_stream_impl: bool = False,
+    ):
+        if reduction not in REDUCTIONS:
+            raise ValueError(
+                f"unknown reduction {reduction!r}; expected one of {REDUCTIONS}"
+            )
+        self.num_labels = num_labels
+        self.reduction = reduction
+        self.forward_only = forward_only
+        self.impl = "scan" if gpu_no_stream_impl else "auto"
+        self.transition = jnp.zeros((num_labels, num_labels), jnp.float32)
+
+    def forward(
+        self,
+        inputs,
+        targets,
+        input_lengths=None,
+        target_lengths=None,
+        *,
+        transition=None,
+    ):
+        out = asg_loss(
+            self.transition if transition is None else transition,
+            inputs,
+            targets,
+            input_lengths,
+            target_lengths,
+            reduction=self.reduction,
+            impl=self.impl,
+        )
+        if self.forward_only:
+            import jax
+
+            out = jax.lax.stop_gradient(out)
+        return out
+
+    __call__ = forward
