@@ -148,3 +148,19 @@ def test_bf16_inputs_upcast(rng):
         lambda tr, i: asg_loss(tr, i, targets, impl="scan"), (0, 1)
     )(trans.astype(jnp.bfloat16), inputs.astype(jnp.bfloat16))
     assert g[0].dtype == jnp.bfloat16 and g[1].dtype == jnp.bfloat16
+
+
+@pytest.mark.parametrize("reduction", ["mean", "sum", "none"])
+def test_forward_only_reductions(rng, reduction):
+    """BASELINE config 2: forward-only scoring with every reduction."""
+    inputs = jnp.asarray(rng.normal(size=(9, 3, 5)))
+    targets = jnp.asarray(rng.integers(0, 5, size=(3, 4)), jnp.int32)
+    m = ASGLoss.create(5, reduction=reduction, forward_only=True, impl="scan")
+    out = m(inputs, targets)
+    ref = asg_loss(m.transition, inputs, targets, reduction=reduction,
+                   impl="scan")
+    np.testing.assert_allclose(out, ref, rtol=1e-12)
+    assert out.shape == ((3,) if reduction == "none" else ())
+    g = jax.grad(lambda tr: m.__class__(**{**m.__dict__, "transition": tr})(
+        inputs, targets).sum())(m.transition)
+    np.testing.assert_allclose(g, 0.0)

@@ -85,12 +85,13 @@ def test_module_temperature_matches_functional(rng):
     np.testing.assert_allclose(out_m, out_f, rtol=1e-12)
 
 
-def test_auto_falls_back_to_scan_for_wide_vocab():
-    """'auto' must not route giant vocabularies at the VMEM-resident kernel."""
+def test_auto_falls_back_for_wide_vocab():
+    """'auto' must not route giant vocabularies at the VMEM-resident kernel;
+    they go to the matmul formulation (no (B, N, N) materialization)."""
     fn_small = _resolve_impl("auto", 30, 50)
     fn_big = _resolve_impl("auto", _FUSED_MAX_WIDTH + 1, 50)
     assert fn_small.__name__ == "asg_scores_fused"
-    assert fn_big.__name__ == "scores_scan"
+    assert fn_big.__name__ == "scores_matmul"
 
 
 @pytest.mark.parametrize("impl", ["scan", "pallas", "fused"])
@@ -137,3 +138,53 @@ def test_loss_zero_iff_single_path(rng, impl):
     )
     assert float(loss[0]) >= -1e-9
     assert float(loss[0]) < 1e-6  # all competing paths are ~e^-60 down
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_matmul_impl_matches_scan(rng, seed):
+    """impl='matmul' (the large-vocab formulation) is exact vs the oracle."""
+    r = np.random.default_rng(seed)
+    trans, inputs, targets, li, lo = _case(r, 13, 3, 5, 7)
+    l_s = asg_loss(trans, inputs, targets, li, lo, reduction="none", impl="scan")
+    l_m = asg_loss(trans, inputs, targets, li, lo, reduction="none",
+                   impl="matmul")
+    np.testing.assert_allclose(l_m, l_s, rtol=1e-10, atol=1e-10)
+    gs = jax.grad(lambda tr, i: asg_loss(tr, i, targets, li, lo, impl="scan"),
+                  (0, 1))(trans, inputs)
+    gm = jax.grad(lambda tr, i: asg_loss(tr, i, targets, li, lo,
+                                         impl="matmul"), (0, 1))(trans, inputs)
+    np.testing.assert_allclose(gm[0], gs[0], rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(gm[1], gs[1], rtol=1e-9, atol=1e-11)
+
+
+def test_gather_branch_matches_onehot(rng, monkeypatch):
+    """The large-N gather branch of make_aligned/scatter_to_full is exact
+    vs the one-hot matmul branch (forced via the threshold)."""
+    from torch_asg_tpu.ops import fac as fac_mod
+
+    trans, inputs, targets, li, lo = _case(rng, 12, 3, 4, 6)
+    trans = trans.at[5, 5].set(float("-inf"))  # -inf flows through gathers
+    targets = jnp.where(targets == 5, 4, targets)
+
+    def run():
+        l = asg_loss(trans, inputs, targets, li, lo, reduction="none",
+                     impl="matmul")
+        g = jax.grad(
+            lambda tr, i: asg_loss(tr, i, targets, li, lo, reduction="sum",
+                                   impl="matmul"), (0, 1)
+        )(trans, inputs)
+        return l, g
+
+    l_onehot, g_onehot = run()
+    monkeypatch.setattr(fac_mod, "_ONEHOT_MAX_LABELS", 2)
+    l_gather, g_gather = run()
+    np.testing.assert_allclose(l_gather, l_onehot, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(g_gather[0], g_onehot[0], rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(g_gather[1], g_onehot[1], rtol=1e-9, atol=1e-11)
+
+
+def test_auto_uses_matmul_for_wide_vocab():
+    from torch_asg_tpu.asg import _resolve_impl
+
+    fn = _resolve_impl("auto", 10000, 50)
+    assert fn.__name__ == "scores_matmul"

@@ -31,7 +31,7 @@ from .ops.fcc import fcc_score
 from .utils.lengths import default_lengths
 
 REDUCTIONS = ("mean", "sum", "none")
-IMPLS = ("scan", "pallas", "fused", "auto")
+IMPLS = ("scan", "pallas", "fused", "matmul", "auto")
 
 
 def _prep(inputs, targets, input_lengths, target_lengths):
@@ -82,11 +82,25 @@ def _resolve_impl(impl: str, num_labels: int = 0, s_total: int = 0):
     (the TPU answer to the reference's 4-stream orchestration, C11);
     'pallas': the per-lattice Pallas kernels; 'scan': the pure-jnp
     lax.scan oracle (parity/debug path, analogous to the reference's
-    gpu_no_stream_impl switch).  'auto' degrades to 'scan' when the label
-    or target width exceeds the fused kernel's VMEM budget.
+    gpu_no_stream_impl switch); 'matmul': the exp-matmul formulation that
+    never materializes (B, N, N), for wordpiece-scale vocabularies on one
+    chip.  'auto' degrades to 'matmul' past the fused kernel's VMEM
+    budget.
     """
     if impl == "auto" and max(num_labels, s_total) > _FUSED_MAX_WIDTH:
-        impl = "scan"
+        # big vocabularies: the matmul formulation streams the N^2
+        # transition from HBM instead of materializing (B, N, N) per step
+        impl = "matmul"
+    if impl == "matmul":
+        from .ops.fcc import fcc_score_matmul
+
+        def scores_matmul(transition, inputs, targets, li, lo):
+            return (
+                fcc_score_matmul(transition, inputs, li),
+                fac_score(transition, inputs, targets, li, lo),
+            )
+
+        return scores_matmul
     if impl == "scan":
 
         def scores_scan(transition, inputs, targets, li, lo):

@@ -45,6 +45,12 @@ from .semiring import NEG_INF, masked_softmax
 from ..utils.lengths import label_mask, time_mask
 
 
+# Widest vocabulary for which the (B, S, N) one-hot matmul forms of the
+# gathers/scatters are used; beyond it, true gathers/scatter-adds (slower
+# per element, but not O(N) memory per target slot).
+_ONEHOT_MAX_LABELS = 512
+
+
 class AlignedLattice(NamedTuple):
     """Gathered, aligned-domain views of the emissions and transitions."""
 
@@ -70,6 +76,11 @@ def make_aligned(
     lattice recursion at the benchmark shape.  -inf emissions (legal in
     the log semiring, e.g. log-prob one-hots) are sanitized before the
     matmul (-inf x 0 = NaN) and restored via an indicator matmul.
+
+    Above ``_ONEHOT_MAX_LABELS`` the (B, S, N) one-hot itself becomes the
+    memory problem (12.8 GB at N=10k, B=64, S=50), so a true gather takes
+    over — slower per element but O(T B S) total, and -inf flows through
+    a gather natively.
     """
     t_total, num_batches, num_labels = inputs.shape
     s_total = targets.shape[1]
@@ -77,6 +88,27 @@ def make_aligned(
 
     tmask = time_mask(t_total, input_lengths)  # (T, B)
     smask = label_mask(s_total, target_lengths)  # (B, S)
+
+    if num_labels > _ONEHOT_MAX_LABELS:
+        idx = jnp.broadcast_to(tgt[None], (t_total, num_batches, s_total))
+        aligned = jnp.take_along_axis(inputs, idx, axis=2)
+        valid = tmask[:, :, None] & smask[None, :, :]
+        aligned = jnp.where(valid, aligned, NEG_INF)
+        self_trans = jnp.where(smask, transition[tgt, tgt], 0.0)
+        next_pairs = transition[tgt[:, 1:], tgt[:, :-1]]
+        smask_next = (
+            jnp.arange(s_total, dtype=target_lengths.dtype)[None, :]
+            < (target_lengths - 1)[:, None]
+        )
+        next_trans = jnp.concatenate(
+            [next_pairs, jnp.zeros((num_batches, 1), next_pairs.dtype)], axis=1
+        )
+        next_trans = jnp.where(smask_next, next_trans, 0.0)
+        return AlignedLattice(
+            aligned.astype(inputs.dtype), self_trans.astype(inputs.dtype),
+            next_trans.astype(inputs.dtype), tgt, None,
+        )
+
     onehot = jax.nn.one_hot(tgt, num_labels, dtype=inputs.dtype)  # (B, S, N)
     onehot = onehot * smask[:, :, None].astype(inputs.dtype)
     finite = jnp.isfinite(inputs)
@@ -242,7 +274,23 @@ def scatter_to_full(
     ``force_aligned_lattice_kernel.cu:291,297,418``).  ALL scatters run as
     transposed one-hot matmuls (MXU): TPU scatter ops serialize and cost
     more than the whole lattice recursion, both for the big (T,B,S) ->
-    (T,B,N) emission grads and for the (N,N) transition grads."""
+    (T,B,N) emission grads and for the (N,N) transition grads.  For
+    vocabularies past the one-hot budget (lat.onehot is None) the XLA
+    scatter-add takes over — deterministic either way."""
+    if lat.onehot is None:
+        t_total, num_batches, s_total = g_aligned.shape
+        grad_inputs = jnp.zeros(
+            (t_total, num_batches, num_labels), g_aligned.dtype
+        ).at[:, jnp.arange(num_batches)[:, None], lat.targets].add(g_aligned)
+        grad_transition = jnp.zeros((num_labels, num_labels), g_aligned.dtype)
+        grad_transition = grad_transition.at[lat.targets, lat.targets].add(
+            g_self_trans
+        )
+        grad_transition = grad_transition.at[
+            lat.targets[:, 1:], lat.targets[:, :-1]
+        ].add(g_next_trans[:, :-1])
+        return grad_transition, grad_inputs
+
     grad_inputs = jnp.einsum(
         "tbs,bsi->tbi", g_aligned, lat.onehot, precision=jax.lax.Precision.HIGHEST
     )

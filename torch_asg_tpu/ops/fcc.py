@@ -142,3 +142,127 @@ def _fcc_bwd(res, g):
 
 
 fcc_score.defvjp(_fcc_fwd, _fcc_bwd)
+
+
+# ---------------------------------------------------------------------------
+# matmul formulation for large vocabularies (single chip, HBM-resident T)
+# ---------------------------------------------------------------------------
+#
+# The scan above materializes a (B, N, N) tensor per step, which is exact
+# but O(B N^2) *memory* per step — infeasible beyond a few thousand labels.
+# The matmul formulation rewrites each logsumexp-over-transitions as a
+# max-normalized exp matmul (the same identity the fused Pallas kernel
+# uses, see ops/pallas/asg_kernels.py):
+#
+#   lse_j(T[i,j] + a[j]) = c + m + log( exp(a - m) @ exp(T - c)^T )[i]
+#
+# so a step is one (B, N) x (N, N) MXU matmul and O(B N) elementwise work.
+# Per-step memory is O(B N + N^2); the N^2 transition streams from HBM.
+# This is what makes wordpiece-scale vocabularies (N ~ 10k) feasible on a
+# single chip; sharding them across chips (parallel.asg_loss_vp) is still
+# the scalable answer.
+
+
+def _exp_mats(transition, dtype):
+    c = jnp.max(transition)
+    c = jnp.where(jnp.isfinite(c), c, 0.0).astype(dtype)
+    e = jnp.exp(transition.astype(dtype) - c)  # e[i, j] = exp(T[i,j] - c)
+    return e, c
+
+
+def _lse_mm(x, mat, c):
+    """lse_j(x[b, j] + log mat[j, i]) + c, -inf-safe, no N^2 per-batch."""
+    m = jnp.max(x, axis=1, keepdims=True)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    s = jnp.dot(
+        jnp.exp(x - m_safe), mat,
+        preferred_element_type=x.dtype, precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.log(s) + m_safe + c  # log(0) = -inf keeps dead rows dead
+
+
+def _alpha_scan_mm(transition, inputs_m):
+    e, c = _exp_mats(transition, inputs_m.dtype)
+    e_t = e.T
+
+    def step(a_prev, i_t):
+        a = i_t + _lse_mm(a_prev, e_t, c)
+        return a, a
+
+    a0 = inputs_m[0]
+    _, rest = lax.scan(step, a0, inputs_m[1:])
+    return jnp.concatenate([a0[None], rest], axis=0)
+
+
+def _beta_scan_mm(transition, inputs_m, input_lengths):
+    e, c = _exp_mats(transition, inputs_m.dtype)
+    t_total = inputs_m.shape[0]
+
+    b_last = jnp.where(
+        (input_lengths == t_total)[:, None],
+        jnp.zeros(inputs_m.shape[1:], inputs_m.dtype),
+        NEG_INF,
+    )
+
+    def step(b_next, xs):
+        t, i_next = xs
+        raw = _lse_mm(i_next + b_next, e, c)
+        b_t = jnp.where((input_lengths - 1 == t)[:, None], jnp.zeros_like(raw), raw)
+        return b_t, b_t
+
+    ts = jnp.arange(t_total - 2, -1, -1)
+    _, rest = lax.scan(step, b_last, (ts, inputs_m[1:][::-1]))
+    return jnp.concatenate([rest[::-1], b_last[None]], axis=0)
+
+
+@jax.custom_vjp
+def fcc_score_matmul(
+    transition: jnp.ndarray, inputs: jnp.ndarray, input_lengths: jnp.ndarray
+) -> jnp.ndarray:
+    """fcc_score via the matmul formulation; same contract, large-N safe."""
+    inputs_m = mask_emissions(inputs, input_lengths)
+    beta = _beta_scan_mm(transition, inputs_m, input_lengths)
+    return _score_from_beta(beta[0], inputs_m[0])
+
+
+def _fcc_mm_fwd(transition, inputs, input_lengths):
+    inputs_m = mask_emissions(inputs, input_lengths)
+    alpha = _alpha_scan_mm(transition, inputs_m)
+    beta = _beta_scan_mm(transition, inputs_m, input_lengths)
+    score = _score_from_beta(beta[0], inputs_m[0])
+    return score, (transition, inputs_m, alpha, beta)
+
+
+def _fcc_mm_bwd(res, g):
+    transition, inputs_m, alpha, beta = res
+    gamma = alpha + beta
+    grad_inputs = masked_softmax(gamma, axis=2) * g[None, :, None]
+
+    e, c = _exp_mats(transition, inputs_m.dtype)
+
+    # dT[i,j] = e[i,j] * sum_{t,b} U[t,b,i] V[t,b,j] with
+    #   V = exp(a_prev - m), U = gI * exp(I - a_cur + m + c):
+    # the per-step (N, B) x (B, N) matmul replaces the (B, N, N) tensor
+    # (identical math to the fused kernel's backward).
+    def step(acc, xs):
+        a_prev, a_cur, i_cur, gi = xs
+        m = jnp.max(a_prev, axis=1, keepdims=True)
+        m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+        v = jnp.exp(a_prev - m_safe)
+        sub = jnp.where(jnp.isfinite(a_cur), i_cur - a_cur, NEG_INF)
+        u = gi * jnp.exp(sub + m_safe + c)
+        acc = acc + jax.lax.dot_general(
+            u, v, (((0,), (0,)), ((), ())),
+            preferred_element_type=acc.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return acc, None
+
+    acc0 = jnp.zeros_like(e)
+    acc, _ = lax.scan(
+        step, acc0, (alpha[:-1], alpha[1:], inputs_m[1:], grad_inputs[1:])
+    )
+    return (acc * e).astype(transition.dtype), grad_inputs, None
+
+
+fcc_score_matmul.defvjp(_fcc_mm_fwd, _fcc_mm_bwd)
