@@ -152,3 +152,20 @@ def test_viterbi_align_ragged():
         jnp.asarray(li), jnp.asarray(lo),
     )
     assert np.all(np.asarray(res.scores) <= np.asarray(lse) + 1e-9)
+
+
+def test_viterbi_decode_chunked_matches(rng, monkeypatch):
+    """The large-vocabulary chunked max-plus path is exact vs the dense
+    step (forced via the threshold; chunk > N exercises row padding)."""
+    from torch_asg_tpu.ops import viterbi as vit_mod
+
+    T, B, N = 12, 3, 9
+    inputs = jnp.asarray(rng.normal(size=(T, B, N)))
+    trans = jnp.asarray(rng.normal(size=(N, N)) * 0.5)
+    li = jnp.asarray([12, 8, 10], jnp.int32)
+    ref = viterbi_decode(trans, inputs, li)
+    monkeypatch.setattr(vit_mod, "_CHUNK_MIN_LABELS", 4)
+    monkeypatch.setattr(vit_mod, "_CHUNK_SIZE", 4)
+    got = viterbi_decode(trans, inputs, li)
+    np.testing.assert_allclose(got.scores, ref.scores)
+    np.testing.assert_array_equal(np.asarray(got.paths), np.asarray(ref.paths))

@@ -39,6 +39,12 @@ from .semiring import NEG_INF
 from ..utils.lengths import mask_emissions
 
 
+# Beyond this many labels, the decoder's per-step (B, N, N) max-plus
+# tensor is computed in destination chunks to bound live memory.
+_CHUNK_MIN_LABELS = 1024
+_CHUNK_SIZE = 512
+
+
 class ViterbiResult(NamedTuple):
     scores: jnp.ndarray  # (B,) best-path scores
     paths: jnp.ndarray  # (T, B) int32 labels, -1 at padding frames
@@ -64,11 +70,36 @@ def viterbi_decode(
         input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
     inputs_m = mask_emissions(inputs, input_lengths)
 
-    def fstep(d_prev, i_t):
-        cand = transition[None, :, :] + d_prev[:, None, :]  # (B, to, from)
-        d = i_t + jnp.max(cand, axis=2)
-        bp = jnp.argmax(cand, axis=2).astype(jnp.int32)
-        return d, (d, bp)
+    if num_labels > _CHUNK_MIN_LABELS:
+        # Max-plus has no matmul form, so the (B, N, N) step tensor is
+        # unavoidable work — but not unavoidable MEMORY: chunk the
+        # destination rows so only (B, chunk, N) is live (wordpiece-scale
+        # vocabularies would otherwise materialize gigabytes per step).
+        ck = _CHUNK_SIZE
+        n_pad = -(-num_labels // ck) * ck
+        trans_p = jnp.pad(
+            transition, ((0, n_pad - num_labels), (0, 0)),
+            constant_values=NEG_INF,
+        ).reshape(n_pad // ck, ck, num_labels)
+
+        def fstep(d_prev, i_t):
+            def chunk(rows):  # (ck, N) transition rows
+                cand = rows[None] + d_prev[:, None, :]  # (B, ck, N)
+                return jnp.max(cand, axis=2), jnp.argmax(cand, axis=2)
+
+            maxs, args = lax.map(chunk, trans_p)  # (nc, B, ck) each
+            best = jnp.transpose(maxs, (1, 0, 2)).reshape(num_batches, n_pad)
+            bp = jnp.transpose(args, (1, 0, 2)).reshape(num_batches, n_pad)
+            d = i_t + best[:, :num_labels]
+            return d, (d, bp[:, :num_labels].astype(jnp.int32))
+
+    else:
+
+        def fstep(d_prev, i_t):
+            cand = transition[None, :, :] + d_prev[:, None, :]  # (B, to, from)
+            d = i_t + jnp.max(cand, axis=2)
+            bp = jnp.argmax(cand, axis=2).astype(jnp.int32)
+            return d, (d, bp)
 
     d0 = inputs_m[0]
     _, (d_rest, backptr) = lax.scan(fstep, d0, inputs_m[1:])
