@@ -143,3 +143,26 @@ def test_vp_on_2d_mesh(case):
         case["lo"], reduction="none",
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10)
+
+
+def test_vp_accepts_bf16_and_wide_targets(rng):
+    """asg_loss_vp normalizes inputs like asg_loss: bf16 upcast and S>T
+    clamp (regression: bf16 crashed the scan carry; S>T gave inf/NaN)."""
+    mesh = make_mesh((4,), ("model",), devices=jax.devices("cpu")[:4])
+    t_total, num_batches, num_labels, s_total = 6, 2, 8, 10  # S > T
+    inputs = jnp.asarray(
+        rng.normal(size=(t_total, num_batches, num_labels)), jnp.bfloat16
+    )
+    trans = jnp.asarray(rng.normal(size=(num_labels, num_labels)) * 0.3,
+                        jnp.float32)
+    targets = jnp.asarray(
+        rng.integers(0, num_labels, size=(num_batches, s_total)), jnp.int32
+    )
+    loss = asg_loss_vp(mesh, trans, inputs, targets, reduction="none")
+    assert np.all(np.isfinite(np.asarray(loss, np.float32)))
+    ref = asg_loss(
+        trans, inputs.astype(jnp.float32), targets, reduction="none",
+        impl="scan",
+    )
+    np.testing.assert_allclose(np.asarray(loss, np.float32), ref, rtol=2e-2,
+                               atol=1e-2)

@@ -51,9 +51,15 @@ def create_train_state(
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), optimizer
 
 
-def loss_fn(model: Wav2Letter, params, batch, impl: str = "auto"):
+def loss_fn(
+    model: Wav2Letter, params, batch, impl: str = "auto",
+    train: bool = False, dropout_rng: Optional[jax.Array] = None,
+):
     """batch: features (B,T,F), feat_lengths (B,), targets (B,S), target_lengths (B,)."""
-    emissions = model.apply({"params": params["encoder"]}, batch["features"])
+    rngs = {"dropout": dropout_rng} if (train and dropout_rng is not None) else None
+    emissions = model.apply(
+        {"params": params["encoder"]}, batch["features"], train=train, rngs=rngs
+    )
     input_lengths = model.output_length(batch["feature_lengths"]).astype(jnp.int32)
     return asg_loss(
         params["transition"],
@@ -66,10 +72,29 @@ def loss_fn(model: Wav2Letter, params, batch, impl: str = "auto"):
     )
 
 
-def make_train_step(model: Wav2Letter, optimizer, impl: str = "auto"):
+def make_train_step(
+    model: Wav2Letter, optimizer, impl: str = "auto",
+    dropout_rng: Optional[jax.Array] = None,
+):
+    """Jittable (state, batch) -> (state, loss) step.
+
+    When the model uses dropout, pass a base ``dropout_rng``: each step
+    folds in ``state.step`` so dropout masks vary over training (without
+    it, a dropout-configured model silently trains with dropout inactive).
+    """
+    use_dropout = model.dropout > 0.0
+    base_rng = (
+        dropout_rng if dropout_rng is not None else jax.random.key(0)
+    ) if use_dropout else None
+
     def train_step(state: TrainState, batch):
+        rng = (
+            jax.random.fold_in(base_rng, state.step) if use_dropout else None
+        )
         loss, grads = jax.value_and_grad(
-            lambda p: loss_fn(model, p, batch, impl)
+            lambda p: loss_fn(
+                model, p, batch, impl, train=use_dropout, dropout_rng=rng
+            )
         )(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -108,12 +133,32 @@ def param_shardings(mesh: Mesh, model: Wav2Letter, feature_dim: int):
 def shard_train_state(
     mesh: Mesh, model: Wav2Letter, feature_dim: int, state: TrainState
 ) -> TrainState:
-    """Place params on the mesh per their flax partitioning metadata."""
+    """Place params AND optimizer moments on the mesh per the flax
+    partitioning metadata.
+
+    Optimizer state entries that mirror the params pytree (adam mu/nu,
+    etc.) get the params' shardings — replicating them would keep
+    per-chip optimizer memory at O(params) and defeat the tensor-parallel
+    sharding; scalar counters and anything non-param-shaped replicate.
+    """
     p_shard = param_shardings(mesh, model, feature_dim)
     params = jax.device_put(state.params, p_shard)
     repl = NamedSharding(mesh, P())
+
+    params_def = jax.tree_util.tree_structure(state.params)
+
+    def place(node):
+        # a subtree shaped exactly like params follows the param shardings
+        if jax.tree_util.tree_structure(node) == params_def:
+            return jax.device_put(node, p_shard)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x,
+            node,
+        )
+
     opt_state = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x,
+        place,
         state.opt_state,
+        is_leaf=lambda n: jax.tree_util.tree_structure(n) == params_def,
     )
     return TrainState(params, opt_state, jax.device_put(state.step, repl))

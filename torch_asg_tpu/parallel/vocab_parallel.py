@@ -42,6 +42,7 @@ from ..ops.fac import (
     _shift_left_s,
     _shift_right_s,
 )
+from ..asg import _prep
 from ..ops.semiring import NEG_INF, logsumexp, masked_softmax
 from ..utils.lengths import label_mask, mask_emissions, time_mask
 
@@ -67,7 +68,12 @@ def _local_slice(full: jnp.ndarray, axis: str, shard_size: int, dim: int) -> jnp
 def _gather_transition_entries(
     trans_rows: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray, axis: str
 ) -> jnp.ndarray:
-    """T[rows, cols] from a row-sharded transition; replicated result."""
+    """T[rows, cols] from a row-sharded transition; replicated result.
+
+    Deliberately an indexed gather: this is O(B*S) elements ONCE per call
+    (not inside the time scan), and the one-hot matmul alternative needs a
+    full (B, S, N) one-hot — gigabytes at the wordpiece-scale N this
+    module exists for (same policy as ops.fac's large-N branch)."""
     n_local = trans_rows.shape[0]
     p = lax.axis_index(axis)
     local_rows = rows - p * n_local
@@ -81,13 +87,38 @@ def _gather_transition_entries(
 # ---------------------------------------------------------------------------
 
 
+def _exp_rows_mat(trans_rows, dtype):
+    """exp(T_rows - c) with a per-chip finite c (self-consistently repaid)."""
+    c = jnp.max(trans_rows)
+    c = jnp.where(jnp.isfinite(c), c, 0.0).astype(dtype)
+    return jnp.exp(trans_rows.astype(dtype) - c), c
+
+
+def _lse_rows(x, e_mat, c):
+    """lse over the CONTRACTED axis of a max-normalized exp matmul.
+
+    x: (B, K); e_mat: (K, M) = exp(rows - c).  Returns (B, M).  The
+    matmul form keeps the per-step working set O(B(K+M) + KM) instead of
+    materializing (B, K, M) — essential at wordpiece-scale N (the same
+    identity as ops.fcc.fcc_score_matmul, applied per row shard).
+    """
+    m = jnp.max(x, axis=1, keepdims=True)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    s = jnp.dot(
+        jnp.exp(x - m_safe), e_mat,
+        preferred_element_type=x.dtype, precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.log(s) + m_safe + c
+
+
 def _alpha_scan_vp(trans_rows, inputs_m, axis):
     """alpha shards (T, B, N/P); per-step all_gather of the alpha carry."""
+    e_rows, c = _exp_rows_mat(trans_rows, inputs_m.dtype)
+    e_rows_t = e_rows.T  # (N, Np): contract the gathered source labels
 
     def step(a_shard, i_t):
         a_full = lax.all_gather(a_shard, axis, axis=1, tiled=True)  # (B, N)
-        pc = trans_rows[None, :, :] + a_full[:, None, :]  # (B, Np, N)
-        a = i_t + logsumexp(pc, axis=2)
+        a = i_t + _lse_rows(a_full, e_rows_t, c)
         return a, a
 
     a0 = inputs_m[0]
@@ -98,6 +129,7 @@ def _alpha_scan_vp(trans_rows, inputs_m, axis):
 def _beta_scan_vp(trans_rows, inputs_m, input_lengths, axis):
     """beta shards (T, B, N/P); per-step cross-chip partial-lse combine."""
     t_total, num_batches, n_local = inputs_m.shape
+    e_rows, c = _exp_rows_mat(trans_rows, inputs_m.dtype)
 
     b_last = jnp.where(
         (input_lengths == t_total)[:, None],
@@ -108,8 +140,8 @@ def _beta_scan_vp(trans_rows, inputs_m, input_lengths, axis):
     def step(b_shard, xs):
         t, i_next = xs
         x = i_next + b_shard  # (B, Np) local j
-        # partial over local j for ALL destination labels i:
-        partial = logsumexp(trans_rows[None, :, :] + x[:, :, None], axis=1)
+        # partial over local source labels j for ALL destinations i:
+        partial = _lse_rows(x, e_rows, c)  # (B, N)
         b_full = _lse_over_chips(partial, axis)  # (B, N) replicated
         raw = _local_slice(b_full, axis, n_local, dim=1)
         b_t = jnp.where((input_lengths - 1 == t)[:, None], jnp.zeros_like(raw), raw)
@@ -133,21 +165,32 @@ def _fcc_bwd_vp(trans_rows, inputs_m, alpha, beta, score, g, axis):
     gamma = alpha + beta
     grad_inputs = jnp.exp(gamma - score[None, :, None]) * g[None, :, None]
 
+    # dT_rows[i,j] = e_rows[i,j] * sum_{t,b} U[t,b,i] V[t,b,j] with
+    # V = exp(a_prev - m), U = gi * exp(I - a_cur + m + c): one
+    # (Np, B) x (B, N) matmul per step instead of a (B, Np, N) tensor
+    # (the matmul identity of ops.fcc._fcc_mm_bwd, per row shard).
+    e_rows, c = _exp_rows_mat(trans_rows, inputs_m.dtype)
+
     def step(acc, xs):
         a_prev_shard, a_cur, i_cur, gi = xs
         a_prev = lax.all_gather(a_prev_shard, axis, axis=1, tiled=True)  # (B, N)
+        m = jnp.max(a_prev, axis=1, keepdims=True)
+        m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+        v = jnp.exp(a_prev - m_safe)
         sub = jnp.where(jnp.isfinite(a_cur), i_cur - a_cur, NEG_INF)  # (B, Np)
-        expo = trans_rows[None, :, :] + a_prev[:, None, :] + sub[:, :, None]
-        acc = acc + jnp.einsum(
-            "bi,bij->ij", gi, jnp.exp(expo), precision=jax.lax.Precision.HIGHEST
+        u = gi * jnp.exp(sub + m_safe + c)
+        acc = acc + jax.lax.dot_general(
+            u, v, (((0,), (0,)), ((), ())),
+            preferred_element_type=acc.dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return acc, None
 
-    acc0 = jnp.zeros_like(trans_rows)
-    grad_trans_rows, _ = lax.scan(
+    acc0 = jnp.zeros_like(e_rows)
+    acc, _ = lax.scan(
         step, acc0, (alpha[:-1], alpha[1:], inputs_m[1:], grad_inputs[1:])
     )
-    return grad_trans_rows, grad_inputs
+    return (acc * e_rows).astype(trans_rows.dtype), grad_inputs
 
 
 # ---------------------------------------------------------------------------
@@ -203,7 +246,7 @@ def _fac_gather_vp(trans_rows, inputs_shard, targets, input_lengths, target_leng
         < (target_lengths - 1)[:, None]
     )
     next_trans = jnp.where(smask_next, next_trans, 0.0)
-    return AlignedLattice(aligned, self_trans, next_trans, tgt), ok
+    return AlignedLattice(aligned, self_trans, next_trans, tgt)
 
 
 def _scatter_trans_rows(trans_rows_shape, targets, ok_rows, cols, vals, axis):
@@ -252,7 +295,7 @@ def _get_asg_vp(mesh: Mesh, axis: str):
         beta = _beta_scan_vp(trans_rows, inputs_m, li, axis)
         partial = logsumexp(beta[0] + inputs_m[0], axis=1)
         full = _lse_over_chips(partial, axis)
-        lat, _ = _fac_gather_vp(trans_rows, inputs_shard, targets, li, lo, axis)
+        lat = _fac_gather_vp(trans_rows, inputs_shard, targets, li, lo, axis)
         beta_a = _fac_beta_scan(lat, li, lo)
         aligned = _fac_score_readout(beta_a[0], lat.inputs[0])
         return full - aligned
@@ -260,7 +303,7 @@ def _get_asg_vp(mesh: Mesh, axis: str):
     def fwd_local(trans_rows, inputs_shard, targets, li, lo):
         inputs_m = mask_emissions(inputs_shard, li)
         full, alpha, beta = _fcc_fwd_vp(trans_rows, inputs_m, li, axis)
-        lat, _ = _fac_gather_vp(trans_rows, inputs_shard, targets, li, lo, axis)
+        lat = _fac_gather_vp(trans_rows, inputs_shard, targets, li, lo, axis)
         alpha_a = _fac_alpha_scan(lat)
         beta_a = _fac_beta_scan(lat, li, lo)
         aligned = _fac_score_readout(beta_a[0], lat.inputs[0])
@@ -281,9 +324,6 @@ def _get_asg_vp(mesh: Mesh, axis: str):
         gt_rows, gi = _fcc_bwd_vp(trans_rows, inputs_m, alpha, beta, full, g, axis)
 
         # numerator part (-g), aligned domain (replicated math)
-        lat = AlignedLattice(ali, self_t, next_t, tgt)
-        t_total = ali.shape[0]
-        num_batches = self_t.shape[0]
         g_aligned = masked_softmax(alpha_a + beta_a, axis=2) * (-g)[None, :, None]
         sub = jnp.where(jnp.isfinite(alpha_a), ali - alpha_a, NEG_INF)
         hori = jnp.exp(alpha_a[:-1] + self_t[None] + sub[1:])
@@ -374,10 +414,13 @@ def asg_loss_vp(
     results are bitwise identical on every chip.
     """
     t_total, num_batches, num_labels = inputs.shape
-    if input_lengths is None:
-        input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
-    if target_lengths is None:
-        target_lengths = jnp.full((num_batches,), targets.shape[1], dtype=jnp.int32)
+    inputs, targets, input_lengths, target_lengths = _prep(
+        inputs, targets, input_lengths, target_lengths
+    )
+    transition = transition.astype(
+        jnp.promote_types(inputs.dtype, transition.dtype)
+    )
+    inputs = inputs.astype(transition.dtype)
     if num_labels % mesh.shape[axis] != 0:
         raise ValueError(
             f"num_labels {num_labels} not divisible by mesh axis "
@@ -402,6 +445,17 @@ def fcc_score_vp(
 ) -> jnp.ndarray:
     """Vocabulary-sharded denominator scores (forward only), shape (B,)."""
     t_total, num_batches, num_labels = inputs.shape
+    if inputs.dtype in (jnp.bfloat16, jnp.float16):
+        inputs = inputs.astype(jnp.float32)
+    transition = transition.astype(
+        jnp.promote_types(inputs.dtype, transition.dtype)
+    )
+    inputs = inputs.astype(transition.dtype)
+    if num_labels % mesh.shape[axis] != 0:
+        raise ValueError(
+            f"num_labels {num_labels} not divisible by mesh axis "
+            f"{axis!r} = {mesh.shape[axis]}"
+        )
     if input_lengths is None:
         input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
 

@@ -28,7 +28,10 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _lib_tried = True
     path = os.path.join(_HERE, _LIB_NAME)
-    if not os.path.exists(path) and os.path.isdir(_NATIVE_DIR):
+    if os.path.isdir(_NATIVE_DIR):
+        # Run make even when the .so exists: it is a no-op when fresh and
+        # rebuilds when native/asg_host.cpp changed (a stale gitignored
+        # binary would otherwise silently shadow source edits).
         try:
             subprocess.run(
                 ["make", "-C", _NATIVE_DIR],
@@ -37,7 +40,8 @@ def _load() -> Optional[ctypes.CDLL]:
                 timeout=120,
             )
         except Exception:
-            return None
+            if not os.path.exists(path):
+                return None
     if not os.path.exists(path):
         return None
     try:
@@ -94,13 +98,21 @@ def pack_frames(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Pack ragged (T_b, F) float32 utterances into (T_max, B, F) + lengths."""
     num_batches = len(utterances)
+    if num_batches == 0:
+        return np.zeros((0, 0, 0), np.float32), np.zeros((0,), np.int32)
     feat_dim = utterances[0].shape[1]
+    for b, u in enumerate(utterances):
+        if u.ndim != 2 or u.shape[1] != feat_dim:
+            raise ValueError(
+                f"utterance {b} has shape {u.shape}; expected (*, {feat_dim}) "
+                "— all utterances must share the feature dim"
+            )
     lengths = np.array([u.shape[0] for u in utterances], np.int32)
     t_max = int(lengths.max())
     lib = _load() if use_native in (None, True) else None
     if lib is not None and use_native is not False:
         frames = np.ascontiguousarray(
-            np.concatenate([u.reshape(-1, feat_dim) for u in utterances], axis=0),
+            np.concatenate([np.asarray(u, np.float32) for u in utterances], axis=0),
             np.float32,
         )
         offsets = np.zeros(num_batches + 1, np.int64)
@@ -160,6 +172,8 @@ def encode_targets(
     extended alphabet has size alphabet_size + max_reps.
     """
     num_batches = len(sequences)
+    if num_batches == 0:
+        return np.zeros((0, 1), np.int32), np.zeros((0,), np.int32)
     in_lengths = np.array([len(s) for s in sequences], np.int64)
     s_max = int(in_lengths.max()) if num_batches else 0
     lib = _load() if use_native in (None, True) else None
