@@ -26,8 +26,9 @@ from torch_asg_tpu.utils.profiling import fetch_overhead_s, time_fn_chained
 
 # (name, B, T, S, N): the headline BASELINE shape, a long-utterance
 # variant, a larger batch, and a wordpiece-scale vocabulary (still within
-# the fused kernel's VMEM budget; beyond it, 'auto' falls back to scan
-# and truly large vocabularies belong on parallel.asg_loss_vp).
+# the fused kernel's VMEM budget; beyond it, 'auto' falls back to the
+# matmul formulation and truly large vocabularies belong on
+# parallel.asg_loss_vp).
 CONFIGS = [
     ("letters-base", 64, 1000, 50, 30),
     ("letters-long", 32, 2000, 50, 30),

@@ -97,8 +97,6 @@ def main():
             if step % 5 == 0 or step == start + args.steps - 1:
                 print(f"step {step:4d}  loss {float(loss):8.4f}")
             if ckpt_mgr and (step + 1) % 10 == 0:
-                import orbax.checkpoint as ocp
-
                 ckpt_mgr.save(step + 1, args=ocp.args.StandardSave(state))
     if ckpt_mgr:
         ckpt_mgr.wait_until_finished()

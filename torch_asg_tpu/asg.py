@@ -150,8 +150,9 @@ def asg_loss(
       impl: 'fused' (production path: ONE Pallas kernel computing both
         lattices) | 'pallas' (per-lattice Pallas kernels, mid-tier /
         cross-check) | 'scan' (pure-jnp lax.scan oracle, the parity and
-        debug path) | 'auto' (= 'fused', falling back to 'scan' when the
-        label/target width exceeds the fused kernel's VMEM budget).
+        debug path) | 'matmul' (exp-matmul formulation for wordpiece-
+        scale vocabularies) | 'auto' (= 'fused', falling back to
+        'matmul' past the fused kernel's VMEM width budget).
       temperature: generalized-semiring temperature tau (the base-B
         sum with log B = 1/tau from the reference's tech report
         ``doc/tech_report.tex:78-88``): loss_tau = tau * loss(T/tau, I/tau).

@@ -68,6 +68,11 @@ def viterbi_decode(
     t_total, num_batches, num_labels = inputs.shape
     if input_lengths is None:
         input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
+    # same boundary upcast as the loss path (asg._prep): path scores
+    # accumulate over T steps, too long for half-precision mantissas
+    if inputs.dtype in (jnp.bfloat16, jnp.float16):
+        inputs = inputs.astype(jnp.float32)
+    transition = transition.astype(inputs.dtype)
     inputs_m = mask_emissions(inputs, input_lengths)
 
     if num_labels > _CHUNK_MIN_LABELS:
@@ -82,7 +87,10 @@ def viterbi_decode(
             constant_values=NEG_INF,
         ).reshape(n_pad // ck, ck, num_labels)
 
-        def fstep(d_prev, i_t):
+        def fstep(carry, xs):
+            d_prev, d_end = carry
+            t, i_t = xs
+
             def chunk(rows):  # (ck, N) transition rows
                 cand = rows[None] + d_prev[:, None, :]  # (B, ck, N)
                 return jnp.max(cand, axis=2), jnp.argmax(cand, axis=2)
@@ -91,25 +99,24 @@ def viterbi_decode(
             best = jnp.transpose(maxs, (1, 0, 2)).reshape(num_batches, n_pad)
             bp = jnp.transpose(args, (1, 0, 2)).reshape(num_batches, n_pad)
             d = i_t + best[:, :num_labels]
-            return d, (d, bp[:, :num_labels].astype(jnp.int32))
+            d_end = jnp.where((input_lengths - 1 == t)[:, None], d, d_end)
+            return (d, d_end), bp[:, :num_labels].astype(jnp.int32)
 
     else:
 
-        def fstep(d_prev, i_t):
+        def fstep(carry, xs):
+            d_prev, d_end = carry
+            t, i_t = xs
             cand = transition[None, :, :] + d_prev[:, None, :]  # (B, to, from)
             d = i_t + jnp.max(cand, axis=2)
             bp = jnp.argmax(cand, axis=2).astype(jnp.int32)
-            return d, (d, bp)
+            # online readout at each utterance's true end (no stored delta)
+            d_end = jnp.where((input_lengths - 1 == t)[:, None], d, d_end)
+            return (d, d_end), bp
 
     d0 = inputs_m[0]
-    _, (d_rest, backptr) = lax.scan(fstep, d0, inputs_m[1:])
-    delta = jnp.concatenate([d0[None], d_rest], axis=0)  # (T, B, N)
-
-    # Read out at each utterance's true end t = L-1.
-    end_idx = (input_lengths - 1).astype(jnp.int32)
-    d_end = jnp.take_along_axis(
-        delta, end_idx[None, :, None].astype(jnp.int32), axis=0
-    )[0]  # (B, N)
+    ts_f = jnp.arange(1, t_total, dtype=input_lengths.dtype)
+    (_, d_end), backptr = lax.scan(fstep, (d0, d0), (ts_f, inputs_m[1:]))
     scores = jnp.max(d_end, axis=1)
     final_labels = jnp.argmax(d_end, axis=1).astype(jnp.int32)
 
@@ -150,6 +157,9 @@ def viterbi_align(
         target_lengths = jnp.full((num_batches,), s_total, dtype=jnp.int32)
     if input_lengths is None:
         input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
+    if inputs.dtype in (jnp.bfloat16, jnp.float16):
+        inputs = inputs.astype(jnp.float32)
+    transition = transition.astype(inputs.dtype)
     lat = make_aligned(transition, inputs, targets, input_lengths, target_lengths)
 
     d0 = jnp.full((num_batches, s_total), NEG_INF, lat.inputs.dtype)

@@ -25,24 +25,6 @@ def trace(log_dir: Optional[str]):
         yield
 
 
-def time_fn(fn: Callable, *args, warmup: int = 3, iters: int = 10) -> float:
-    """Steady-state seconds per call (blocks on device results).
-
-    Caveat: through remote-TPU tunnels, block_until_ready can acknowledge
-    before execution completes and identical dispatches may be coalesced,
-    yielding physically impossible numbers.  Prefer ``time_fn_chained``
-    for anything that matters.
-    """
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
-
-
 def fetch_overhead_s(samples: int = 5) -> float:
     """Fixed host<->device round-trip cost of fetching one scalar (median).
 
