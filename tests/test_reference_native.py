@@ -1,0 +1,152 @@
+"""Direct parity against the REFERENCE's own compiled C++ extension.
+
+The reference's CPU extension (zh217/torch-asg ``native/*.cpp``) is
+JIT-compiled from the read-only reference checkout and driven through its
+native entry points (the call sequence of ``torch_asg/asg.py:7-56``); its
+losses and gradients are then compared against this framework in fp64.
+This is the strongest parity evidence available: not golden constants,
+not a re-derivation — the actual reference binary.
+
+Skipped (not failed) when the toolchain can't build the extension.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from torch_asg_tpu import asg_loss
+
+REF_SRC = "/root/reference/torch_asg/native"
+BUILD_DIR = "/tmp/ref_native_build"
+
+
+@pytest.fixture(scope="module")
+def ref():
+    import os
+
+    os.makedirs(BUILD_DIR, exist_ok=True)
+    try:
+        from torch.utils.cpp_extension import load
+
+        return load(
+            name="torch_asg_native",
+            sources=[
+                f"{REF_SRC}/utils.cpp",
+                f"{REF_SRC}/force_aligned_lattice.cpp",
+                f"{REF_SRC}/fully_connected_lattice.cpp",
+                f"{REF_SRC}/extension.cpp",
+            ],
+            extra_cflags=["-fopenmp", "-O2"],
+            extra_ldflags=["-fopenmp"],
+            build_directory=BUILD_DIR,
+            verbose=False,
+        )
+    except Exception as e:  # no toolchain / headers: skip, don't fail
+        pytest.skip(f"reference extension unavailable: {e}")
+
+
+def _reference_loss_and_grads(ref, trans, inputs, targets, li, lo):
+    """Loss + (dT, dI) via the reference native API (asg.py call sequence)."""
+    t_total, num_batches, num_labels = inputs.shape
+    s_total = targets.shape[1]
+    full, a_f, b_f, pc_f = ref.fully_connected_forward(
+        inputs, trans, li, t_total, num_batches, num_labels
+    )
+    aligned, a_a, b_a, pc_a = ref.force_aligned_forward(
+        inputs, targets, trans, li, lo, t_total, num_batches, num_labels,
+        s_total,
+    )
+    ones = torch.ones(num_batches, dtype=inputs.dtype)
+    gt_f, gi_f = ref.fully_connected_backward(
+        ones, a_f, b_f, pc_f, t_total, num_batches, num_labels
+    )
+    gt_a, gi_a = ref.force_aligned_backward(
+        -ones, a_a, b_a, pc_a, targets, li, lo, t_total, num_batches,
+        num_labels, s_total,
+    )
+    return full - aligned, gt_f + gt_a, gi_f + gi_a
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_loss_and_grads_match_reference_binary(ref, seed):
+    r = np.random.default_rng(seed)
+    t_total, num_batches, s_total, num_labels = 14, 4, 5, 7
+    inputs_np = r.normal(size=(t_total, num_batches, num_labels))
+    trans_np = r.normal(size=(num_labels, num_labels)) * 0.5
+    targets_np = r.integers(0, num_labels, size=(num_batches, s_total))
+    li_np = r.integers(s_total, t_total + 1, size=(num_batches,))
+    lo_np = r.integers(1, s_total + 1, size=(num_batches,))
+
+    ref_loss, ref_gt, ref_gi = _reference_loss_and_grads(
+        ref,
+        torch.tensor(trans_np, dtype=torch.float64),
+        torch.tensor(inputs_np, dtype=torch.float64),
+        torch.tensor(targets_np, dtype=torch.int64),
+        torch.tensor(li_np, dtype=torch.int64),
+        torch.tensor(lo_np, dtype=torch.int64),
+    )
+
+    loss = asg_loss(
+        jnp.asarray(trans_np), jnp.asarray(inputs_np),
+        jnp.asarray(targets_np, jnp.int32),
+        jnp.asarray(li_np, jnp.int32), jnp.asarray(lo_np, jnp.int32),
+        reduction="none", impl="scan",
+    )
+    gt, gi = jax.grad(
+        lambda tr, i: asg_loss(
+            tr, i, jnp.asarray(targets_np, jnp.int32),
+            jnp.asarray(li_np, jnp.int32), jnp.asarray(lo_np, jnp.int32),
+            reduction="sum", impl="scan",
+        ),
+        (0, 1),
+    )(jnp.asarray(trans_np), jnp.asarray(inputs_np))
+
+    np.testing.assert_allclose(np.asarray(loss), ref_loss.numpy(), rtol=1e-10,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gt), ref_gt.numpy(), rtol=1e-9,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gi), ref_gi.numpy(), rtol=1e-9,
+                               atol=1e-10)
+
+
+def test_fused_matches_reference_binary(ref, rng):
+    """The production fused path against the reference binary (fp64
+    interpret mode)."""
+    t_total, num_batches, s_total, num_labels = 12, 3, 4, 6
+    inputs_np = rng.normal(size=(t_total, num_batches, num_labels))
+    trans_np = rng.normal(size=(num_labels, num_labels)) * 0.5
+    targets_np = rng.integers(0, num_labels, size=(num_batches, s_total))
+    li_np = rng.integers(s_total, t_total + 1, size=(num_batches,))
+    lo_np = rng.integers(1, s_total + 1, size=(num_batches,))
+
+    ref_loss, ref_gt, ref_gi = _reference_loss_and_grads(
+        ref,
+        torch.tensor(trans_np, dtype=torch.float64),
+        torch.tensor(inputs_np, dtype=torch.float64),
+        torch.tensor(targets_np, dtype=torch.int64),
+        torch.tensor(li_np, dtype=torch.int64),
+        torch.tensor(lo_np, dtype=torch.int64),
+    )
+
+    tgts = jnp.asarray(targets_np, jnp.int32)
+    li = jnp.asarray(li_np, jnp.int32)
+    lo = jnp.asarray(lo_np, jnp.int32)
+    loss = asg_loss(
+        jnp.asarray(trans_np), jnp.asarray(inputs_np), tgts, li, lo,
+        reduction="none", impl="fused",
+    )
+    gt, gi = jax.grad(
+        lambda tr, i: asg_loss(tr, i, tgts, li, lo, reduction="sum",
+                               impl="fused"),
+        (0, 1),
+    )(jnp.asarray(trans_np), jnp.asarray(inputs_np))
+
+    np.testing.assert_allclose(np.asarray(loss), ref_loss.numpy(), rtol=1e-9,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gt), ref_gt.numpy(), rtol=1e-8,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gi), ref_gi.numpy(), rtol=1e-8,
+                               atol=1e-9)
