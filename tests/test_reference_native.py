@@ -150,3 +150,51 @@ def test_fused_matches_reference_binary(ref, rng):
                                atol=1e-9)
     np.testing.assert_allclose(np.asarray(gi), ref_gi.numpy(), rtol=1e-8,
                                atol=1e-9)
+
+
+@pytest.mark.parametrize(
+    "shape_case",
+    [
+        # (T, B, S, N, li, lo) — degenerate and boundary length patterns
+        (9, 3, 4, 6, [1, 9, 4], [1, 1, 4]),     # li=1 / lo=1 corners
+        (7, 2, 7, 5, [7, 7], [7, 3]),           # S == T, full-length target
+        (16, 4, 3, 11, [16, 3, 9, 12], [3, 3, 1, 2]),  # tight li == lo
+    ],
+)
+def test_edge_lengths_match_reference_binary(ref, shape_case):
+    t_total, num_batches, s_total, num_labels, li_l, lo_l = shape_case
+    r = np.random.default_rng(sum(li_l))
+    inputs_np = r.normal(size=(t_total, num_batches, num_labels))
+    trans_np = r.normal(size=(num_labels, num_labels)) * 0.5
+    targets_np = r.integers(0, num_labels, size=(num_batches, s_total))
+    li_np = np.asarray(li_l)
+    lo_np = np.asarray(lo_l)
+
+    ref_loss, ref_gt, ref_gi = _reference_loss_and_grads(
+        ref,
+        torch.tensor(trans_np, dtype=torch.float64),
+        torch.tensor(inputs_np, dtype=torch.float64),
+        torch.tensor(targets_np, dtype=torch.int64),
+        torch.tensor(li_np, dtype=torch.int64),
+        torch.tensor(lo_np, dtype=torch.int64),
+    )
+
+    tgts = jnp.asarray(targets_np, jnp.int32)
+    li = jnp.asarray(li_np, jnp.int32)
+    lo = jnp.asarray(lo_np, jnp.int32)
+    for impl in ("scan", "fused"):
+        loss = asg_loss(
+            jnp.asarray(trans_np), jnp.asarray(inputs_np), tgts, li, lo,
+            reduction="none", impl=impl,
+        )
+        gt, gi = jax.grad(
+            lambda tr, i: asg_loss(tr, i, tgts, li, lo, reduction="sum",
+                                   impl=impl),
+            (0, 1),
+        )(jnp.asarray(trans_np), jnp.asarray(inputs_np))
+        np.testing.assert_allclose(np.asarray(loss), ref_loss.numpy(),
+                                   rtol=1e-9, atol=1e-9, err_msg=impl)
+        np.testing.assert_allclose(np.asarray(gt), ref_gt.numpy(), rtol=1e-8,
+                                   atol=1e-9, err_msg=impl)
+        np.testing.assert_allclose(np.asarray(gi), ref_gi.numpy(), rtol=1e-8,
+                                   atol=1e-9, err_msg=impl)
