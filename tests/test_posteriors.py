@@ -1,0 +1,65 @@
+"""Posterior marginals: gradient identities pin the implementation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torch_asg_tpu import fac_posteriors, fcc_posteriors
+from torch_asg_tpu.ops.fac import fac_score
+from torch_asg_tpu.ops.fcc import fcc_score
+
+
+def _case(rng, t_total=12, num_batches=3, s_total=4, num_labels=6):
+    inputs = jnp.asarray(rng.normal(size=(t_total, num_batches, num_labels)))
+    trans = jnp.asarray(rng.normal(size=(num_labels, num_labels)) * 0.5)
+    targets = jnp.asarray(
+        rng.integers(0, num_labels, size=(num_batches, s_total)), jnp.int32
+    )
+    li = jnp.asarray([12, 8, 10], jnp.int32)
+    lo = jnp.asarray([4, 2, 3], jnp.int32)
+    return trans, inputs, targets, li, lo
+
+
+def test_fcc_posteriors_are_score_gradients(rng):
+    trans, inputs, targets, li, lo = _case(rng)
+    post = fcc_posteriors(trans, inputs, li)
+    grad = jax.grad(lambda i: fcc_score(trans, i, li).sum())(inputs)
+    np.testing.assert_allclose(post, grad, rtol=1e-10, atol=1e-12)
+    # valid frames sum to 1; invalid frames are exactly 0
+    sums = np.asarray(post.sum(axis=2))
+    tmask = np.arange(12)[:, None] < np.asarray(li)[None, :]
+    np.testing.assert_allclose(sums[tmask], 1.0, rtol=1e-9)
+    np.testing.assert_allclose(sums[~tmask], 0.0)
+
+
+def test_fac_posteriors_are_soft_alignments(rng):
+    trans, inputs, targets, li, lo = _case(rng)
+    post = fac_posteriors(trans, inputs, targets, li, lo)
+    sums = np.asarray(post.sum(axis=2))
+    tmask = np.arange(12)[:, None] < np.asarray(li)[None, :]
+    np.testing.assert_allclose(sums[tmask], 1.0, rtol=1e-9)
+    np.testing.assert_allclose(sums[~tmask], 0.0)
+    # monotone support: mass must concentrate on reachable (t, s) cells;
+    # slot s is unreachable before frame s
+    for s in range(4):
+        np.testing.assert_allclose(np.asarray(post[:s, :, s]), 0.0)
+
+
+def test_fac_posteriors_peak_matches_viterbi(rng):
+    """In a sharply-peaked lattice, the soft alignment's argmax follows
+    the Viterbi alignment."""
+    from torch_asg_tpu import viterbi_align
+
+    trans, inputs, targets, li, lo = _case(rng)
+    sharp = inputs * 20.0  # low temperature -> near-deterministic paths
+    post = fac_posteriors(trans, sharp, targets, li, lo)
+    ali = viterbi_align(trans, sharp, targets, li, lo)
+    post_np = np.asarray(post)
+    pos_np = np.asarray(ali.positions)
+    li_np = np.asarray(li)
+    agree = total = 0
+    for b in range(post_np.shape[1]):
+        for t in range(li_np[b]):
+            total += 1
+            agree += int(post_np[t, b].argmax() == pos_np[t, b])
+    assert agree / total > 0.8

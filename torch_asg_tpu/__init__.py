@@ -8,6 +8,7 @@ and SURVEY.md at the repo root.
 from .asg import ASGLoss, asg_loss, asg_scores
 from .ops.fac import fac_score
 from .ops.fcc import fcc_score
+from .ops.posteriors import fac_posteriors, fcc_posteriors
 from .ops.viterbi import viterbi_align, viterbi_decode
 
 __version__ = "0.1.0"
@@ -18,6 +19,8 @@ __all__ = [
     "asg_scores",
     "fcc_score",
     "fac_score",
+    "fcc_posteriors",
+    "fac_posteriors",
     "viterbi_decode",
     "viterbi_align",
 ]

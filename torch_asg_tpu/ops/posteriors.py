@@ -1,0 +1,73 @@
+"""Posterior (occupation) marginals of the ASG lattices.
+
+gamma = alpha + beta normalized per frame — the quantity the reference's
+streamed forward computes internally and feeds straight to its backward
+(zh217/torch-asg ``streamlined_fast_gpu.cpp:159,215,227-229``) but never
+exposes.  Useful on its own: soft alignments for distillation, confidence
+estimation, and lattice visualization.
+
+Identities (and the tests that pin them): the full-lattice posterior IS
+``d fcc_score / d inputs`` and the aligned posterior is the aligned-domain
+gradient of ``fac_score`` — both follow from ``tech_report.tex:174``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from .fac import _alpha_scan as _fac_alpha, _beta_scan as _fac_beta, make_aligned
+from .fcc import _alpha_scan as _fcc_alpha, _beta_scan as _fcc_beta
+from .semiring import masked_softmax
+from ..utils.lengths import mask_emissions
+
+
+def fcc_posteriors(
+    transition: jnp.ndarray,
+    inputs: jnp.ndarray,
+    input_lengths: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(T, B, N) per-frame label posteriors under the full lattice.
+
+    Rows sum to 1 on valid frames and are exactly 0 past each utterance's
+    length.  Equals ``jax.grad(fcc_score.sum(), inputs)``.
+    """
+    t_total, num_batches, _ = inputs.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
+    if inputs.dtype in (jnp.bfloat16, jnp.float16):
+        inputs = inputs.astype(jnp.float32)
+    transition = transition.astype(inputs.dtype)
+    inputs_m = mask_emissions(inputs, input_lengths)
+    alpha = _fcc_alpha(transition, inputs_m)
+    beta = _fcc_beta(transition, inputs_m, input_lengths)
+    return masked_softmax(alpha + beta, axis=2)
+
+
+def fac_posteriors(
+    transition: jnp.ndarray,
+    inputs: jnp.ndarray,
+    targets: jnp.ndarray,
+    input_lengths: Optional[jnp.ndarray] = None,
+    target_lengths: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(T, B, S) soft alignment: P(frame t emits target slot s | targets).
+
+    The expected segmentation under the force-aligned lattice — rows sum
+    to 1 on valid frames; 0 past the lengths.  Equals the aligned-domain
+    gradient of ``fac_score``.
+    """
+    t_total, num_batches, _ = inputs.shape
+    s_total = targets.shape[1]
+    if input_lengths is None:
+        input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
+    if target_lengths is None:
+        target_lengths = jnp.full((num_batches,), s_total, dtype=jnp.int32)
+    if inputs.dtype in (jnp.bfloat16, jnp.float16):
+        inputs = inputs.astype(jnp.float32)
+    transition = transition.astype(inputs.dtype)
+    lat = make_aligned(transition, inputs, targets, input_lengths, target_lengths)
+    alpha = _fac_alpha(lat)
+    beta = _fac_beta(lat, input_lengths, target_lengths)
+    return masked_softmax(alpha + beta, axis=2)
