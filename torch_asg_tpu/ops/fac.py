@@ -111,16 +111,17 @@ def make_aligned(
 
     onehot = jax.nn.one_hot(tgt, num_labels, dtype=inputs.dtype)  # (B, S, N)
     onehot = onehot * smask[:, :, None].astype(inputs.dtype)
-    finite = jnp.isfinite(inputs)
-    safe_inputs = jnp.where(finite, inputs, 0.0)
+    # -inf emissions (legal log-semiring values) would make 0 * -inf = NaN
+    # in the matmul; substitute a sentinel and threshold it back.  Exact:
+    # each masked one-hot row has exactly ONE nonzero, so the einsum
+    # result IS the gathered value — a sentinel survives undisturbed.
+    # (Real emissions are log-scores; nothing sane approaches -1e30.)
+    sentinel = jnp.asarray(-1e30, inputs.dtype)
+    safe_inputs = jnp.where(jnp.isfinite(inputs), inputs, sentinel)
     aligned = jnp.einsum(
         "tbi,bsi->tbs", safe_inputs, onehot, precision=jax.lax.Precision.HIGHEST
     )
-    nonfin = jnp.einsum(
-        "tbi,bsi->tbs", (~finite).astype(inputs.dtype), onehot,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    valid = tmask[:, :, None] & smask[None, :, :] & (nonfin < 0.5)
+    valid = tmask[:, :, None] & smask[None, :, :] & (aligned > 0.5 * sentinel)
     aligned = jnp.where(valid, aligned, NEG_INF)
 
     # Transition gathers T[y_s, y_s] / T[y_{s+1}, y_s] as one-hot matmuls

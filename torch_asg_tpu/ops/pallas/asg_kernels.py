@@ -70,9 +70,14 @@ from ..fac import make_aligned, scatter_to_full
 # Lattice steps per sequential grid iteration (statically unrolled).
 ASG_TIME_BLOCK = 8
 # MXU precision for the chain matmuls.  Mosaic supports DEFAULT (one bf16
-# pass) and HIGHEST (six); the op is bandwidth-bound, so the accurate one
-# is effectively free.
-CHAIN_PRECISION = jax.lax.Precision.HIGHEST
+# pass) and HIGHEST (six bf16 passes, ~f32).  DEFAULT measures ~20%
+# faster end-to-end and stays well inside the parity gates: per-step
+# rounding is ~2^-9 relative, scores drift ~0.06 nats over T=1000 (2e-5
+# relative), and gradient posteriors see only the per-step noise because
+# common-mode error cancels in every softmax.  Flip to HIGHEST for
+# bit-conservative runs; CPU interpret mode (the fp64 test suite) always
+# computes at full precision regardless.
+CHAIN_PRECISION = jax.lax.Precision.DEFAULT
 
 
 def _safe_max_rows(x):
