@@ -164,3 +164,25 @@ def test_forward_only_reductions(rng, reduction):
     g = jax.grad(lambda tr: m.__class__(**{**m.__dict__, "transition": tr})(
         inputs, targets).sum())(m.transition)
     np.testing.assert_allclose(g, 0.0)
+
+
+def test_explicit_fused_past_width_budget_raises(rng):
+    """Explicit impl='fused'/'pallas' beyond the VMEM width budget must be
+    a friendly ValueError pointing at matmul/asg_loss_vp, not a raw Mosaic
+    VMEM error (the 'auto' path degrades silently instead)."""
+    from torch_asg_tpu.asg import _FUSED_MAX_WIDTH
+
+    N = _FUSED_MAX_WIDTH + 1
+    inputs = jnp.zeros((4, 2, N))
+    targets = jnp.zeros((2, 3), jnp.int32)
+    for impl in ("fused", "pallas"):
+        with pytest.raises(ValueError, match="matmul"):
+            asg_loss(jnp.zeros((N, N)), inputs, targets, impl=impl)
+    # wide targets trip it too (the S dimension is also VMEM-resident)
+    wide_targets = jnp.zeros((2, _FUSED_MAX_WIDTH + 1), jnp.int32)
+    big_t = jnp.zeros((_FUSED_MAX_WIDTH + 2, 2, 5))
+    with pytest.raises(ValueError, match="asg_loss_vp"):
+        asg_loss(jnp.zeros((5, 5)), big_t, wide_targets, impl="fused")
+    # 'auto' still degrades to matmul and computes
+    loss = asg_loss(jnp.zeros((N, N)), inputs, targets, impl="auto")
+    assert np.isfinite(float(loss))

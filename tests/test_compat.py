@@ -66,3 +66,31 @@ def test_transition_is_trainable_leaf(rng):
 def test_unknown_reduction_raises():
     with pytest.raises(ValueError, match="reduction"):
         ASGLoss(5, reduction="bogus")
+
+
+def test_eval_mode_takes_score_only_path(rng):
+    """Reference parity: eval mode auto-switches to the score-only path
+    (``torch_asg/asg.py:129``: ``self.forward_only or not self.training``).
+    Here "score-only" = gradients stopped, so the custom_vjp primal (beta
+    recursions only, no alpha) is the entire computation."""
+    crit = ASGLoss(5)
+    assert crit.training is True
+    inputs = jnp.asarray(rng.normal(size=(8, 2, 5)))
+    targets = jnp.asarray(rng.integers(0, 5, size=(2, 3)), jnp.int32)
+
+    assert crit.eval() is crit and crit.training is False
+    g = jax.grad(lambda tr: crit.forward(inputs, targets, transition=tr))(
+        crit.transition
+    )
+    np.testing.assert_allclose(g, 0.0)
+
+    # eval-mode losses match train-mode losses exactly (same primal math)
+    loss_eval = crit.forward(inputs, targets)
+    crit.train()
+    assert crit.training is True
+    loss_train = crit.forward(inputs, targets)
+    np.testing.assert_allclose(loss_eval, loss_train, rtol=1e-12)
+    g2 = jax.grad(lambda tr: crit.forward(inputs, targets, transition=tr))(
+        crit.transition
+    )
+    assert np.any(np.asarray(g2) != 0.0)

@@ -66,3 +66,65 @@ def test_hybrid_mesh_runs_collectives():
     n_d, n_m = mesh.shape["data"], mesh.shape["model"]
     x = jnp.ones((n_d * 2, n_m * 3))
     np.testing.assert_allclose(total(x)[0], x.size)
+
+
+def test_init_distributed_retries_rejoining_worker(monkeypatch):
+    """A restarted worker sees a transient RuntimeError from the
+    coordinator; init_distributed must retry and succeed (elastic
+    rejoin, SURVEY section 5 failure-recovery row)."""
+    import torch_asg_tpu.parallel.distributed as d
+
+    calls = []
+
+    def flaky_initialize(**kwargs):
+        calls.append(kwargs)
+        if len(calls) == 1:
+            raise RuntimeError("connection to coordinator failed")
+        return None
+
+    monkeypatch.setattr(d.jax.distributed, "initialize", flaky_initialize)
+    out = d.init_distributed(
+        coordinator_address="localhost:1234",
+        num_processes=1,
+        process_id=0,
+        retries=3,
+        retry_delay_s=0.0,
+    )
+    assert len(calls) == 2  # failed once, rejoined on retry
+    assert out is False  # single-process topology after init
+
+
+def test_init_distributed_exhausted_retries_raise(monkeypatch):
+    import torch_asg_tpu.parallel.distributed as d
+
+    def always_down(**kwargs):
+        raise RuntimeError("connection to coordinator failed")
+
+    monkeypatch.setattr(d.jax.distributed, "initialize", always_down)
+    with pytest.raises(RuntimeError, match="coordinator"):
+        d.init_distributed(
+            coordinator_address="localhost:1234",
+            num_processes=2,
+            process_id=1,
+            retries=2,
+            retry_delay_s=0.0,
+        )
+
+
+def test_init_distributed_explicit_args_never_masked(monkeypatch):
+    """ValueError with explicit coordinator args is a misconfiguration and
+    must propagate; without args it means 'single process' (no-op)."""
+    import torch_asg_tpu.parallel.distributed as d
+
+    def reject(**kwargs):
+        raise ValueError("bad coordinator config")
+
+    monkeypatch.setattr(d.jax.distributed, "initialize", reject)
+    with pytest.raises(ValueError, match="bad coordinator"):
+        d.init_distributed(coordinator_address="localhost:9", retries=1)
+    assert d.init_distributed(retries=1) is False
+
+
+def test_hybrid_mesh_rejects_mismatched_inner_lengths():
+    with pytest.raises(ValueError, match="same length"):
+        make_hybrid_mesh((2, 2), ("model",))

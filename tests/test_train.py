@@ -97,3 +97,47 @@ def test_empty_batches_are_tolerated():
     assert out.size == 0 and lengths.size == 0
     tgts, tlens = encode_targets([], alphabet_size=26)
     assert tgts.shape[0] == 0 and tlens.size == 0
+
+
+def test_checkpoint_roundtrip_resumes_identically(rng, tmp_path):
+    """orbax save -> restore -> one more step must match an uninterrupted
+    two-step run exactly (transition matrix and adam state included)."""
+    import orbax.checkpoint as ocp
+
+    model = Wav2Letter(num_labels=8, channels=16, depth=1, head_channels=16)
+    state, opt = create_train_state(model, jax.random.key(0), FEAT,
+                                    optax.adam(1e-2))
+    batch = _batch(rng)
+    step = jax.jit(make_train_step(model, opt))
+
+    # uninterrupted: two steps
+    s1, _ = step(state, batch)
+    s2, loss_straight = step(s1, batch)
+
+    # interrupted: one step, save, restore into a FRESH state, resume
+    s1b, _ = step(state, batch)
+    with ocp.CheckpointManager(tmp_path / "ckpt") as mgr:
+        mgr.save(1, args=ocp.args.StandardSave(s1b))
+        mgr.wait_until_finished()
+
+        fresh, _ = create_train_state(model, jax.random.key(7), FEAT,
+                                      optax.adam(1e-2))
+        with ocp.CheckpointManager(tmp_path / "ckpt") as mgr2:
+            restored = mgr2.restore(
+                mgr2.latest_step(), args=ocp.args.StandardRestore(fresh)
+            )
+    s2b, loss_resumed = step(restored, batch)
+
+    np.testing.assert_allclose(
+        float(loss_resumed), float(loss_straight), rtol=1e-6
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(s2),
+                    jax.tree_util.tree_leaves(s2b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    # the criterion's own learned parameter moved and survived the trip
+    trans_path = [
+        (p, l) for p, l in
+        jax.tree_util.tree_leaves_with_path(s2b.params)
+        if "transition" in jax.tree_util.keystr(p)
+    ]
+    assert trans_path, "transition matrix missing from checkpointed params"

@@ -87,10 +87,22 @@ def _resolve_impl(impl: str, num_labels: int = 0, s_total: int = 0):
     chip.  'auto' degrades to 'matmul' past the fused kernel's VMEM
     budget.
     """
-    if impl == "auto" and max(num_labels, s_total) > _FUSED_MAX_WIDTH:
-        # big vocabularies: the matmul formulation streams the N^2
-        # transition from HBM instead of materializing (B, N, N) per step
-        impl = "matmul"
+    if max(num_labels, s_total) > _FUSED_MAX_WIDTH:
+        if impl == "auto":
+            # big vocabularies: the matmul formulation streams the N^2
+            # transition from HBM instead of materializing (B, N, N) per step
+            impl = "matmul"
+        elif impl in ("fused", "pallas"):
+            # Explicit requests past the VMEM width budget would otherwise
+            # die inside Mosaic with a raw VMEM-overflow error.
+            raise ValueError(
+                f"impl={impl!r} keeps the (padded) label/target widths "
+                f"VMEM-resident and supports max(num_labels, s_total) <= "
+                f"{_FUSED_MAX_WIDTH}; got num_labels={num_labels}, "
+                f"s_total={s_total}.  Use impl='matmul' (single-chip, "
+                f"HBM-streaming) or parallel.asg_loss_vp (transition rows "
+                f"sharded across chips) for large vocabularies."
+            )
     if impl == "matmul":
         from .ops.fcc import fcc_score_matmul
 
@@ -168,6 +180,10 @@ def asg_loss(
         raise ValueError(f"temperature must be > 0, got {temperature}")
     scores_fn = _resolve_impl(impl, inputs.shape[2], targets.shape[1])
     if temperature != 1.0:
+        # Note: the aligned-lattice gather treats finite emissions below
+        # -5e29 as -inf (ops/fac.py sentinel); after the 1/tau scaling the
+        # effective bound on raw emissions is -5e29 * tau.  No sane
+        # log-score approaches it, but very small tau shrinks the margin.
         inv = 1.0 / temperature
         transition = transition * inv
         inputs = inputs * inv

@@ -47,6 +47,22 @@ class ASGLoss:
         self.forward_only = forward_only
         self.impl = "scan" if gpu_no_stream_impl else "auto"
         self.transition = jnp.zeros((num_labels, num_labels), jnp.float32)
+        self.training = True
+
+    def train(self, mode: bool = True) -> "ASGLoss":
+        """Set training mode, mirroring ``nn.Module.train``.
+
+        The reference auto-switches to the cheap score-only (beta-recursion
+        only) path whenever ``forward_only or not self.training``
+        (``torch_asg/asg.py:129``).  Here the same dispatch happens in
+        ``forward``: eval mode stops gradients, so the custom_vjp primal —
+        which never builds alpha — is the whole computation.
+        """
+        self.training = mode
+        return self
+
+    def eval(self) -> "ASGLoss":
+        return self.train(False)
 
     def forward(
         self,
@@ -66,7 +82,11 @@ class ASGLoss:
             reduction=self.reduction,
             impl=self.impl,
         )
-        if self.forward_only:
+        if self.forward_only or not self.training:
+            # score-only dispatch (reference: forward_only or not training,
+            # ``torch_asg/asg.py:129``): under stop_gradient nothing
+            # differentiates through the loss, so the custom_vjp primal
+            # (beta-only, no alpha/residual stores) is all that runs.
             import jax
 
             out = jax.lax.stop_gradient(out)

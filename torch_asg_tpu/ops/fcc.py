@@ -250,7 +250,12 @@ def _fcc_mm_bwd(res, g):
         m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
         v = jnp.exp(a_prev - m_safe)
         sub = jnp.where(jnp.isfinite(a_cur), i_cur - a_cur, NEG_INF)
-        u = gi * jnp.exp(sub + m_safe + c)
+        # The exponent is bounded by the transition-matrix row spread
+        # (c is the global max, not the row's own argmax path), so it is
+        # NOT provably <= 0: clamp it below the fp32 overflow point so a
+        # pathological >60-nat transition spread degrades gracefully
+        # (clamped magnitude, correct sign) instead of inf * 0 = NaN.
+        u = gi * jnp.exp(jnp.minimum(sub + m_safe + c, 60.0))
         acc = acc + jax.lax.dot_general(
             u, v, (((0,), (0,)), ((), ())),
             preferred_element_type=acc.dtype,

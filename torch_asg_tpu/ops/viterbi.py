@@ -16,15 +16,21 @@ Ragged lengths are masked exactly like the loss kernels; emitted paths use
 -1 at padding frames.
 
 Implementation note: these stay as XLA ``lax.scan`` programs by
-measurement, not omission.  The tropical step has no MXU form (max-plus
-is not a matmul), so a Pallas kernel would do the same O(B*N^2) VPU work
-per step as XLA's fused scan body; measured on one TPU chip at the
-benchmark shape (B=64, T=1000, N=30), the scan decoder runs ~1.7 ms —
-within noise of the Pallas ASG forward on identical-shape work — leaving
-no launch/fusion overhead for a kernel to reclaim.  The decoders share
-the loss path's DP structure: the same masking (mask_emissions), the
-same aligned-lattice gather (make_aligned), and the recursions with
-(max, argmax) substituted for logsumexp.
+measurement plus a floor argument, not omission.  Measured on one TPU
+chip at the benchmark shape (B=64, T=1000, N=30) the scan decoder runs
+~1.1 ms — 1.1 us/step, about 2.3x the fused Pallas ASG forward (~0.5 ms).
+The gap does not mean a kernel would win it back: the fused forward rides
+the MXU (its logsumexp step collapses to a matmul), while the tropical
+step has no MXU form (max-plus is not a matmul over (+, x)), so any
+kernel does O(B*N^2) max/select VPU work per step PLUS an argmax-index
+select per edge for the backtrace.  A Pallas variant (rotation-trick
+max-plus over lane-rolled tiles, 8-step unrolled blocks like
+asg_kernels.py) would trade ~1.0 us/step of scan overhead for
+~0.8-1.2 us/step of VPU work at 128-lane width — inside tunnel variance
+(~+-30%) of the scan, with a second numerics surface to maintain.  The
+decoders share the loss path's DP structure instead: the same masking
+(mask_emissions), the same aligned-lattice gather (make_aligned), and the
+recursions with (max, argmax) substituted for logsumexp.
 """
 
 from __future__ import annotations

@@ -79,6 +79,14 @@ def init_distributed(
             last_err = e
             time.sleep(retry_delay_s)
         except ValueError:
+            if (
+                coordinator_address is not None
+                or num_processes is not None
+                or process_id is not None
+            ):
+                # explicit coordinator config that jax rejected: a real
+                # misconfiguration, never mask it as "single process"
+                raise
             # single-process environment without coordinator config
             return False
     if last_err is not None:
@@ -100,6 +108,11 @@ def make_hybrid_mesh(
     (all_gather / psum over the inner axes) stays on ICI.
     """
     inner_sizes = tuple(int(s) for s in inner_sizes)
+    if len(inner_sizes) != len(inner_names):
+        raise ValueError(
+            f"inner_sizes {inner_sizes} and inner_names {tuple(inner_names)} "
+            f"must have the same length"
+        )
     inner = int(np.prod(inner_sizes)) if inner_sizes else 1
     n_local = jax.local_device_count()
     if inner > n_local or n_local % inner != 0:

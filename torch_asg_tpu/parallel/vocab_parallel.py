@@ -178,7 +178,10 @@ def _fcc_bwd_vp(trans_rows, inputs_m, alpha, beta, score, g, axis):
         m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
         v = jnp.exp(a_prev - m_safe)
         sub = jnp.where(jnp.isfinite(a_cur), i_cur - a_cur, NEG_INF)  # (B, Np)
-        u = gi * jnp.exp(sub + m_safe + c)
+        # Clamped like ops.fcc._fcc_mm_bwd: the exponent is bounded by the
+        # transition row spread, not by 0, so a >60-nat spread would
+        # overflow to inf and NaN the dT matmul without the clamp.
+        u = gi * jnp.exp(jnp.minimum(sub + m_safe + c, 60.0))
         acc = acc + jax.lax.dot_general(
             u, v, (((0,), (0,)), ((), ())),
             preferred_element_type=acc.dtype,
@@ -264,7 +267,10 @@ def _scatter_trans_rows(trans_rows_shape, targets, ok_rows, cols, vals, axis):
 # public entry points
 # ---------------------------------------------------------------------------
 
+# LRU-bounded: keys hold live Mesh objects, so an unbounded dict would
+# leak compiled closures in a long-lived process that cycles meshes.
 _VP_CACHE = {}
+_VP_CACHE_MAX = 8
 
 
 def _get_asg_vp(mesh: Mesh, axis: str):
@@ -278,6 +284,7 @@ def _get_asg_vp(mesh: Mesh, axis: str):
     """
     key = (mesh, axis)
     if key in _VP_CACHE:
+        _VP_CACHE[key] = _VP_CACHE.pop(key)  # refresh LRU order
         return _VP_CACHE[key]
 
     spec_t = P(axis, None)  # transition rows
@@ -393,6 +400,8 @@ def _get_asg_vp(mesh: Mesh, axis: str):
         return gt, gi, None, None, None
 
     asg_vp.defvjp(fwd, bwd)
+    while len(_VP_CACHE) >= _VP_CACHE_MAX:
+        _VP_CACHE.pop(next(iter(_VP_CACHE)))  # evict least-recently-used
     _VP_CACHE[key] = asg_vp
     return asg_vp
 
