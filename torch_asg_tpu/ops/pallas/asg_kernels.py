@@ -216,8 +216,10 @@ def _fwd_kernel(
         qb = jnp.where(seed_b, seed_fac, rawb)
 
         if store:
-            pb_ref[j_local] = pb
-            qb_ref[j_local] = qb
+            # residuals stream at RAW width (blocks are (kb, B, n_raw));
+            # the dropped lanes are exact semiring zeros by construction
+            pb_ref[j_local] = pb[:, : pb_ref.shape[2]]
+            qb_ref[j_local] = qb[:, : qb_ref.shape[2]]
 
     pb_c[:], qb_c[:] = pb, qb
     offb_c[:] = offb
@@ -244,7 +246,7 @@ def _bwd_kernel(
     li_ref, lo_ref, gful_ref, gfac_ref, e_ref, e_t_ref, self_ref, next_ref,
     ia_ref, aia_ref, pb_ref, qb_ref,
     gi_ref, gali_ref, gt_ref, gself_ref, gnext_ref,
-    pa_c, qa_c, pa_blk_s, qa_blk_s, acc_t, acc_self, acc_diag,
+    pa_c, qa_c, acc_t, acc_self, acc_diag,
     *, kb, num_labels,
 ):
     k = pl.program_id(0)
@@ -271,11 +273,19 @@ def _bwd_kernel(
     ia_m = _masked_block(ia_ref, li, t0, n_pad, kb)
     eia_blk, _ = _exp_rows(ia_m)
     aia_blk = _lane_pad(aia_ref[:], s_pad, NEG_INF)
+    # residuals were stored at raw width; re-pad with exact semiring zeros
+    pb_blk = _lane_pad(pb_ref[:], n_pad, 0.0)
+    qb_blk = _lane_pad(qb_ref[:], s_pad, NEG_INF)
 
-    # ---- serial part: recompute both alpha chains for this block
+    # ---- serial part: recompute both alpha chains for this block.
+    # Rows stay SSA values (no VMEM scratch round-trip): the vectorized
+    # grad work below then has no false memory dependence on the chains,
+    # so the VLIW scheduler can fill the chains' MXU/latency gaps with it.
     pa, qa = pa_c[:], qa_c[:]
     pa_prev_rows = []
     qa_prev_rows = []
+    pa_rows = []
+    qa_rows = []
     for j in range(kb):
         pa_prev_rows.append(pa)
         qa_prev_rows.append(qa)
@@ -284,7 +294,7 @@ def _bwd_kernel(
         if j == 0:
             s = jnp.where(k == 0, jnp.ones_like(s), s)  # alpha_0 = I_0
         pa, _ = _rescale(s * eia_blk[j])
-        pa_blk_s[j] = pa
+        pa_rows.append(pa)
         # FAC alpha (log domain); t = 0 seeds at s = 0 only
         # (force_aligned_lattice.cpp:294).
         sq = jnp.logaddexp(qa + selft, _rot_right(qa + nextt, NEG_INF))
@@ -294,7 +304,7 @@ def _bwd_kernel(
                 k == 0, jnp.where(lane_s == 0, aia_blk[j], NEG_INF), raw
             )
         qa = raw
-        qa_blk_s[j] = qa
+        qa_rows.append(qa)
     pa_c[:], qa_c[:] = pa, qa
     pa_prev = jnp.stack(pa_prev_rows)  # (K, B, N): alpha_{t-1} rows
     qa_prev = jnp.stack(qa_prev_rows)
@@ -303,8 +313,7 @@ def _bwd_kernel(
     gfac = gfac_ref[:][None]
 
     # ---- vectorized part: posteriors + transition grads for the block
-    pa_blk = pa_blk_s[:]  # (K, B, N) normalized exp-domain alpha
-    pb_blk = pb_ref[:]
+    pa_blk = jnp.stack(pa_rows)  # (K, B, N) normalized exp-domain alpha
     # Posterior softmax in log space for fp32 robustness (the PA*PB
     # product may underflow even where the softmax is well defined).
     gam = jnp.log(pa_blk) + jnp.log(pb_blk)
@@ -312,7 +321,7 @@ def _bwd_kernel(
     eg = jnp.exp(gam - m)
     den = jnp.sum(eg, axis=2, keepdims=True)
     gi = eg * (1.0 / jnp.where(den > 0, den, 1.0)) * gful
-    gi_ref[:] = gi
+    gi_ref[:] = gi[:, :, : gi_ref.shape[2]]
 
     kb_, b_pad, _ = pa_blk.shape
     pa_prev_f = pa_prev.reshape(kb_ * b_pad, n_pad)
@@ -328,14 +337,13 @@ def _bwd_kernel(
         precision=CHAIN_PRECISION,
     )
 
-    qa_blk = qa_blk_s[:]  # (K, B, S) log-domain alpha
-    qb_blk = qb_ref[:]
+    qa_blk = jnp.stack(qa_rows)  # (K, B, S) log-domain alpha
     gamq = qa_blk + qb_blk
     mq = _safe_max_rows(gamq)
     eq = jnp.exp(gamq - mq)
     denq = jnp.sum(eq, axis=2, keepdims=True)
     gq = eq * (1.0 / jnp.where(denq > 0, denq, 1.0)) * gfac
-    gali_ref[:] = gq
+    gali_ref[:] = gq[:, :, : gali_ref.shape[2]]
 
     # Edge fractions as direct exps of <= 0 exponents
     # (force_aligned_lattice.cpp:165-180 recomputed instead of stored):
@@ -394,13 +402,14 @@ def _run_fwd(li_col, lo_col, e, self_p, next_p, ip, ap, geom, store):
     out_specs = [_const((b_pad, 1)), _const((b_pad, 1))]
     out_shape = [score_shape, score_shape]
     if store:
+        # residuals at raw width: 30/50-lane streams instead of 128
         out_specs = [
-            _desc(kb, b_pad, n_pad, nb),
-            _desc(kb, b_pad, s_pad, nb),
+            _desc(kb, b_pad, n_raw, nb),
+            _desc(kb, b_pad, s_raw, nb),
         ] + out_specs
         out_shape = [
-            jax.ShapeDtypeStruct((t_pad, b_pad, n_pad), dt),
-            jax.ShapeDtypeStruct((t_pad, b_pad, s_pad), dt),
+            jax.ShapeDtypeStruct((t_pad, b_pad, n_raw), dt),
+            jax.ShapeDtypeStruct((t_pad, b_pad, s_raw), dt),
         ] + out_shape
     return pl.pallas_call(
         kern,
@@ -453,19 +462,19 @@ def _run_bwd(
             _const((b_pad, s_pad)),
             _asc(kb, b_pad, n_raw),
             _asc(kb, b_pad, s_raw),
-            _asc(kb, b_pad, n_pad),
-            _asc(kb, b_pad, s_pad),
+            _asc(kb, b_pad, pb.shape[2]),
+            _asc(kb, b_pad, qb.shape[2]),
         ],
         out_specs=[
-            _asc(kb, b_pad, n_pad),
-            _asc(kb, b_pad, s_pad),
+            _asc(kb, b_pad, n_raw),
+            _asc(kb, b_pad, s_raw),
             _const((n_pad, n_pad)),
             _const((b_pad, s_pad)),
             _const((b_pad, s_pad)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_pad, b_pad, n_pad), dt),
-            jax.ShapeDtypeStruct((t_pad, b_pad, s_pad), dt),
+            jax.ShapeDtypeStruct((t_pad, b_pad, n_raw), dt),
+            jax.ShapeDtypeStruct((t_pad, b_pad, s_raw), dt),
             jax.ShapeDtypeStruct((n_pad, n_pad), dt),
             jax.ShapeDtypeStruct((b_pad, s_pad), dt),
             jax.ShapeDtypeStruct((b_pad, s_pad), dt),
@@ -473,8 +482,6 @@ def _run_bwd(
         scratch_shapes=[
             pltpu.VMEM((b_pad, n_pad), dt),
             pltpu.VMEM((b_pad, s_pad), dt),
-            pltpu.VMEM((kb, b_pad, n_pad), dt),
-            pltpu.VMEM((kb, b_pad, s_pad), dt),
             pltpu.VMEM((n_pad, n_pad), dt),
             pltpu.VMEM((b_pad, s_pad), dt),
             pltpu.VMEM((b_pad, s_pad), dt),
@@ -500,14 +507,12 @@ def _prepare(transition, inputs, targets, input_lengths, target_lengths):
     b_pad = round_up(max(num_batches, SUBLANE), SUBLANE)
     t_pad = round_up(t_total, kb)
 
-    ip = pad_axis(
-        pad_axis(pad_axis(inputs, n_pad, 2, NEG_INF), b_pad, 1, NEG_INF),
-        t_pad, 0, NEG_INF,
-    )
-    ap = pad_axis(
-        pad_axis(pad_axis(lat.inputs, s_pad, 2, NEG_INF), b_pad, 1, NEG_INF),
-        t_pad, 0, NEG_INF,
-    )
+    # Emission streams stay at RAW lane width (the kernels lane-pad in
+    # VMEM): the HBM streams carry N=num_labels / S=s_total lanes, not
+    # 128 — measured cost of the in-VMEM pad is zero, traffic drops ~4x
+    # at the benchmark shape.
+    ip = pad_axis(pad_axis(inputs, b_pad, 1, NEG_INF), t_pad, 0, NEG_INF)
+    ap = pad_axis(pad_axis(lat.inputs, b_pad, 1, NEG_INF), t_pad, 0, NEG_INF)
     # Any finite c works (it cancels against the (L_in-1)*c repayment);
     # the max keeps every exp argument <= 0.
     c = jnp.max(transition)
