@@ -1,33 +1,59 @@
 """Benchmark: ASG fwd+bwd frames/sec/chip at the BASELINE.json config
 (B=64, T=1000, N=30 letter vocab), run on the real TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 The reference publishes no benchmark numbers (README.md:27-34 roadmap item
 unchecked; see BASELINE.md), so vs_baseline compares the fused Pallas
 kernel against this repo's own XLA lax.scan implementation on the same
 chip — the honest stand-in for "the same math without the custom kernels".
-A correctness gate (fused vs scan allclose) runs first; a failed gate
-reports value 0.
 
-Timing methodology: each iteration's inputs depend on the previous
-iteration's outputs (a chained data dependency), and the loop is closed by
-fetching a scalar to the host.  Plain back-to-back dispatch with
-block_until_ready can report physically impossible numbers through remote
-TPU tunnels (async dispatch acknowledges before execution completes);
-chain-plus-fetch forces real sequential device execution.
+Correctness gates run first (a failed gate reports value 0):
+  1. fused vs scan at production precision (CHAIN_PRECISION=DEFAULT,
+     one bf16 MXU pass), wide tolerances;
+  2. fused at Precision.HIGHEST vs scan, TIGHT tolerances — so a
+     DEFAULT-precision rounding regression cannot hide inside gate 1.
+
+Timing methodology (round 2 — see scripts/exp_r2_chain.py): every
+dispatch runs CHAIN_K data-dependent steps inside one jit (lax.scan with
+the loop carry threaded through each step's gradient), and the loop is
+closed by fetching a scalar to the host.  Through remote-TPU tunnels,
+plain dispatch timing lies in BOTH directions: block_until_ready can
+acknowledge early (impossibly fast numbers), and any host-side feedback
+op between iterations costs a ~0.3-1 ms dispatch floor (inflated
+round-1 numbers).  In-graph chaining removes both.  The chain threads
+INPUTS (not just the transition) so XLA cannot hoist the emission
+gathers out of the loop — each step pays the full production data path.
+
+Roofline accounting: the JSON reports the analytic HBM bytes the fused
+fwd+bwd moves (raw-width streams, see ops/pallas/asg_kernels.py), the
+achieved bandwidth fraction against a bandwidth anchor measured in-run,
+and the serial-chain latency floor (2T dependent MXU dots; per-step
+latency measured by scripts/exp_r2_chain.py's bare dot chain).
 """
 
 import json
 import sys
+import time as _time
 
+_T0 = _time.time()
+
+
+def _mark(label):
+    print(f"[bench {_time.time()-_T0:6.1f}s] {label}", file=sys.stderr, flush=True)
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 B, T, S, N = 64, 1000, 50, 30
-WARMUP, ITERS = 2, 30
+CHAIN_K = 8  # in-graph steps per dispatch
+WARMUP, ITERS = 2, 12  # dispatches (each = CHAIN_K steps)
+REPEATS = 3
+DOT_CHAIN_NS = 78.0  # measured bare dependent-dot latency (exp_r2_chain)
+
+BIG_N = 10_000  # BASELINE config 5: wordpiece-scale vocabulary
+BIG_T, BIG_B, BIG_S = 100, 8, 10
 
 
 def make_case(dtype=jnp.float32):
@@ -40,122 +66,253 @@ def make_case(dtype=jnp.float32):
     return trans, inputs, targets, li, lo
 
 
-def timed_chained(step, trans, inputs, fetch_s, repeats=3):
-    """Best-of-``repeats`` chained timing (ms) via the canonical harness
-    in utils.profiling: shared-tunnel TPU access shows ~2x run-to-run
-    variance; the minimum is the honest device cost."""
+def best_of(fn, x0, feedback, fetch_s, iters=ITERS, repeats=REPEATS):
+    """Best-of-N chained loops, milliseconds per CHAIN (not per step)."""
     from torch_asg_tpu.utils.profiling import time_fn_chained
 
-    def feedback(x0, out):
-        return x0 + 0.0 * out[1]
-
-    best = min(
-        time_fn_chained(
-            lambda i: step(trans, i), feedback, inputs,
-            warmup=WARMUP, iters=ITERS, fetch_s=fetch_s,
-        )
+    return min(
+        time_fn_chained(fn, feedback, x0, warmup=WARMUP, iters=iters,
+                        fetch_s=fetch_s)
         for _ in range(repeats)
-    )
-    return best * 1e3
+    ) * 1e3
+
+
+def measured_bandwidth(fetch_s):
+    """Achieved HBM GB/s on a chained 64 MB elementwise pass (r+w)."""
+    from torch_asg_tpu.utils.profiling import time_fn_chained
+
+    # 256 MB so the chained loop dwarfs the ~30 ms scalar-fetch cost
+    x = jnp.ones((64 * 1024 * 1024,), jnp.float32)
+
+    def chain(v):
+        def body(c, _):
+            # the scalar sum() makes each pass depend on ALL of the
+            # previous one, so XLA cannot fuse the CHAIN_K passes into a
+            # single read-modify-write sweep (which would overstate
+            # bandwidth by CHAIN_K times)
+            return c + (1e-30 * jnp.sum(c)), None
+        c, _ = jax.lax.scan(body, v, None, length=CHAIN_K)
+        return c
+
+    f = jax.jit(chain)
+    f(x)
+    t = min(
+        time_fn_chained(f, lambda _, out: out, x, warmup=2, iters=12,
+                        fetch_s=fetch_s)
+        for _ in range(2)
+    ) / CHAIN_K
+    # per iteration: one full read (the sum), one read+write (the add)
+    return (3 * x.nbytes) / t / 1e9
+
+
+def fused_hbm_bytes():
+    """Analytic major HBM streams of one fused fwd+bwd step (fp32, raw
+    widths), including the XLA prep/scatter stages."""
+    f4 = 4
+    emis = T * B * N * f4  # (T, B, N)
+    alig = T * B * S * f4  # (T, B, S)
+    streams = {
+        # prep: emission gather reads inputs, writes aligned
+        "prep_gather": emis + alig,
+        # fwd kernel: reads emissions + aligned, writes pb + qb residuals
+        "fwd_read": emis + alig,
+        "fwd_store": emis + alig,  # pb is (T,B,N), qb is (T,B,S)
+        # bwd kernel: reads emissions + aligned + pb + qb, writes gi + gali
+        "bwd_read": 2 * (emis + alig),
+        "bwd_store": emis + alig,
+        # scatter: reads gali, writes gi_fac, reads+writes gi for the sum
+        "scatter": alig + 3 * emis,
+    }
+    return sum(streams.values()), streams
 
 
 def main():
-    from torch_asg_tpu import asg_loss
+    from torch_asg_tpu import asg_loss, viterbi_decode
+    from torch_asg_tpu.ops.pallas.asg_kernels import strict_chain_precision
+    from torch_asg_tpu.utils.profiling import fetch_overhead_s
 
     trans, inputs, targets, li, lo = make_case()
 
-    def make_step(impl):
-        def inner(tr, inp):
-            loss, (gt, gi) = jax.value_and_grad(
-                lambda tr, inp: asg_loss(
-                    tr, inp, targets, li, lo, reduction="mean", impl=impl
-                ),
+    def value_and_grads(impl):
+        def f(tr, inp):
+            return jax.value_and_grad(
+                lambda a, b: asg_loss(a, b, targets, li, lo,
+                                      reduction="mean", impl=impl),
                 argnums=(0, 1),
             )(tr, inp)
-            return loss, gi
+        return f
 
-        return jax.jit(inner)
+    _mark("fetch overhead")
+    fetch_s = fetch_overhead_s()
 
-    scan_step = make_step("scan")
-    fused_step = make_step("fused")
+    # ------------------------------------------------------------------
+    # timed paths: in-graph chains threading the INPUTS.  The chains also
+    # return the final step's (loss, grads): the carry only ever adds
+    # exact zeros, so those equal a single step's outputs — the
+    # correctness gates below reuse them instead of paying separate
+    # (multi-minute) unchained compiles.
+    # ------------------------------------------------------------------
+    def train_chain(impl):
+        vg = value_and_grads(impl)
 
-    # correctness gate (loss + input grads, fused vs scan)
-    def grads(impl):
-        return jax.jit(
-            jax.value_and_grad(
-                lambda tr, inp: asg_loss(
-                    tr, inp, targets, li, lo, reduction="mean", impl=impl
-                ),
-                argnums=(0, 1),
-            )
-        )(trans, inputs)
+        def chain(inp):
+            def body(inp_c, _):
+                loss, (gt, gi) = vg(trans, inp_c)
+                return inp_c + 0.0 * gi, loss
+            inp_o, _ = jax.lax.scan(body, inp, None, length=CHAIN_K - 1)
+            loss, (gt, gi) = vg(trans, inp_o)  # step CHAIN_K of CHAIN_K
+            return loss, inp_o + 0.0 * gi, loss, gt, gi
 
-    (l_s, (gt_s, gi_s)) = grads("scan")
-    (l_f, (gt_f, gi_f)) = grads("fused")
+        return jax.jit(chain)
+
+    feedback = lambda _, out: out[1]
+    scan_step = train_chain("scan")
+    fused_step = train_chain("fused")
+    _mark("compile+gate scan chain")
+    _, _, l_s, gt_s, gi_s = scan_step(inputs)
+    _mark("compile+gate fused chain")
+    _, _, l_f, gt_f, gi_f = fused_step(inputs)
+
+    # gate 1: fused vs scan at production precision (wide tolerances
+    # absorb the single-bf16-pass chain rounding, ~2e-5 on scores)
     ok = (
         np.allclose(float(l_s), float(l_f), rtol=2e-3, atol=2e-3)
         and np.allclose(np.asarray(gt_s), np.asarray(gt_f), rtol=2e-2, atol=2e-3)
         and np.allclose(np.asarray(gi_s), np.asarray(gi_f), rtol=2e-2, atol=2e-3)
     )
-    if not ok:
-        print(
-            json.dumps(
-                {
-                    "metric": "ASG fwd+bwd frames/sec/chip (B=64,T=1000,N=30)",
-                    "value": 0,
-                    "unit": "frames/s",
-                    "vs_baseline": 0.0,
-                    "error": "fused/scan mismatch",
-                }
-            )
+    # gate 2 (strict): fused at HIGHEST precision vs scan, tight
+    _mark("gate2: strict fused")
+    with strict_chain_precision():
+        vg_h = jax.jit(
+            lambda tr, inp: value_and_grads("fused")(tr, inp)
         )
+        l_h, (gt_h, gi_h) = vg_h(trans, inputs)
+    strict_ok = (
+        np.allclose(float(l_s), float(l_h), rtol=1e-4, atol=1e-4)
+        and np.allclose(np.asarray(gt_s), np.asarray(gt_h), rtol=2e-3, atol=1e-4)
+        and np.allclose(np.asarray(gi_s), np.asarray(gi_h), rtol=2e-3, atol=1e-4)
+    )
+    if not (ok and strict_ok):
+        print(json.dumps({
+            "metric": "ASG fwd+bwd frames/sec/chip (B=64,T=1000,N=30)",
+            "value": 0, "unit": "frames/s", "vs_baseline": 0.0,
+            "error": f"gate failure: default_ok={ok} strict_ok={strict_ok}",
+        }))
         return 1
 
-    from torch_asg_tpu.utils.profiling import fetch_overhead_s
+    _mark("time scan")
+    t_scan = best_of(scan_step, inputs, feedback, fetch_s) / CHAIN_K
+    _mark("time fused")
+    t_fused = best_of(fused_step, inputs, feedback, fetch_s) / CHAIN_K
 
-    fetch_s = fetch_overhead_s()
-    t_scan = timed_chained(scan_step, trans, inputs, fetch_s)
-    t_fused = timed_chained(fused_step, trans, inputs, fetch_s)
+    def fwd_chain(inp):
+        def body(inp_c, _):
+            loss = asg_loss(trans, inp_c, targets, li, lo,
+                            reduction="mean", impl="fused")
+            return inp_c + 0.0 * loss, loss
+        inp_o, losses = jax.lax.scan(body, inp, None, length=CHAIN_K)
+        return losses[-1], inp_o
+
+    f = jax.jit(fwd_chain)
+    _mark("compile fwd chain")
+    f(inputs)
+    _mark("time fwd")
+    t_fwd = best_of(f, inputs, feedback, fetch_s) / CHAIN_K
+
+    def vit_chain(inp):
+        def body(inp_c, _):
+            res = viterbi_decode(trans, inp_c, li)
+            s = res.scores.sum()
+            return inp_c + 0.0 * s, s
+        inp_o, scores = jax.lax.scan(body, inp, None, length=CHAIN_K)
+        return scores[-1], inp_o
+
+    v = jax.jit(vit_chain)
+    _mark("compile viterbi chain")
+    v(inputs)
+    _mark("time viterbi")
+    t_vit = best_of(v, inputs, feedback, fetch_s) / CHAIN_K
+
+    # ------------------------------------------------------------------
+    # roofline accounting
+    # ------------------------------------------------------------------
+    _mark("bandwidth anchor")
+    bw_gbps = measured_bandwidth(fetch_s)
+    bytes_total, _ = fused_hbm_bytes()
+    t_bw_floor_ms = bytes_total / (bw_gbps * 1e9) * 1e3
+    t_chain_floor_ms = 2 * T * DOT_CHAIN_NS * 1e-6  # fwd + bwd serial walks
+    floor_ms = max(t_bw_floor_ms, t_chain_floor_ms)
+    roofline_frac = floor_ms / t_fused if t_fused > 0 else 0.0
+
+    # ------------------------------------------------------------------
+    # BASELINE config 5: 10k-label vocabulary, single chip (impl matmul)
+    # ------------------------------------------------------------------
+    r = np.random.default_rng(1)
+    big_inputs = jnp.asarray(r.normal(size=(BIG_T, BIG_B, BIG_N)), jnp.float32)
+    big_trans = jnp.asarray(r.normal(size=(BIG_N, BIG_N)) * 0.1, jnp.float32)
+    big_tgt = jnp.asarray(r.integers(0, BIG_N, size=(BIG_B, BIG_S)), jnp.int32)
+    big_li = jnp.full((BIG_B,), BIG_T, jnp.int32)
+    big_lo = jnp.full((BIG_B,), BIG_S, jnp.int32)
+
+    # the 10k transition (400 MB) MUST be a jit argument, not a closure:
+    # captured constants ride inside the remote-compile request (413s)
+    def big_chain(btr, inp):
+        def body(inp_c, _):
+            loss, (gt, gi) = jax.value_and_grad(
+                lambda a, b: asg_loss(a, b, big_tgt, big_li, big_lo,
+                                      reduction="mean", impl="matmul"),
+                argnums=(0, 1),
+            )(btr, inp_c)
+            return inp_c + 0.0 * gi, loss
+        inp_o, losses = jax.lax.scan(body, inp, None, length=2)
+        return losses[-1], inp_o
+
+    bigf = jax.jit(big_chain)
+    _mark("compile 10k chain")
+    l_big, _ = bigf(big_trans, big_inputs)
+    _mark("gate 10k strict")
+    with strict_chain_precision():
+        l_big_h, _ = jax.jit(big_chain)(big_trans, big_inputs)
+    big_ok = bool(np.allclose(float(l_big), float(l_big_h), rtol=1e-3))
+    _mark("time 10k")
+    t_big = best_of(lambda i: bigf(big_trans, i), big_inputs, feedback,
+                    fetch_s, iters=4, repeats=2) / 2
+
     frames = B * T
-    best = min(t_scan, t_fused)
-
-    # secondary paths for the record: forward-only scoring + Viterbi decode
-    def fwd_only_step(tr, inp):
-        loss = asg_loss(tr, inp, targets, li, lo, reduction="mean", impl="fused")
-        return loss, loss[None, None, None] + 0.0 * inp
-
-    t_fwd = timed_chained(jax.jit(fwd_only_step), trans, inputs, fetch_s)
-
-    from torch_asg_tpu import viterbi_decode
-
-    def vit_step(tr, inp):
-        res = viterbi_decode(tr, inp, li)
-        return res.scores.sum(), res.scores.sum()[None, None, None] + 0.0 * inp
-
-    t_vit = timed_chained(jax.jit(vit_step), trans, inputs, fetch_s)
-
-    print(
-        json.dumps(
-            {
-                "metric": "ASG fwd+bwd frames/sec/chip (B=64,T=1000,N=30)",
-                "value": round(frames / (best / 1e3), 1),
-                "unit": "frames/s",
-                "vs_baseline": round(t_scan / t_fused, 3),
-                "detail": {
-                    "fused_ms": round(t_fused, 3),
-                    "xla_scan_ms": round(t_scan, 3),
-                    "forward_only_ms": round(t_fwd, 3),
-                    "viterbi_decode_ms": round(t_vit, 3),
-                    "backend": jax.default_backend(),
-                    "note": (
-                        "reference publishes no numbers; vs_baseline = "
-                        "xla_scan_time / fused_kernel_time on the same chip; "
-                        "chained+fetch-synced timing"
-                    ),
-                },
-            }
-        )
-    )
+    print(json.dumps({
+        "metric": "ASG fwd+bwd frames/sec/chip (B=64,T=1000,N=30)",
+        "value": round(frames / (t_fused / 1e3), 1),
+        "unit": "frames/s",
+        "vs_baseline": round(t_scan / t_fused, 3),
+        "detail": {
+            "fused_ms": round(t_fused, 3),
+            "xla_scan_ms": round(t_scan, 3),
+            "forward_only_ms": round(t_fwd, 3),
+            "viterbi_decode_ms": round(t_vit, 3),
+            "strict_precision_gate": "pass (HIGHEST vs scan, rtol 2e-3)",
+            "roofline": {
+                "hbm_bytes_per_step": bytes_total,
+                "measured_bw_gbps": round(bw_gbps, 1),
+                "bw_floor_ms": round(t_bw_floor_ms, 3),
+                "serial_chain_floor_ms": round(t_chain_floor_ms, 3),
+                "binding_floor": (
+                    "hbm" if t_bw_floor_ms > t_chain_floor_ms else "serial chain"
+                ),
+                "fraction_of_roofline": round(roofline_frac, 3),
+            },
+            "vocab10k_matmul": {
+                "shape": f"T={BIG_T},B={BIG_B},N={BIG_N}",
+                "step_ms": round(t_big, 1),
+                "strict_precision_loss_match": big_ok,
+            },
+            "backend": jax.default_backend(),
+            "note": (
+                "reference publishes no numbers; vs_baseline = xla_scan /"
+                " fused on the same chip; in-graph chained timing"
+                " (CHAIN_K dependent steps per dispatch, inputs threaded)"
+            ),
+        },
+    }))
     return 0
 
 

@@ -58,7 +58,7 @@ def main():
     for kb in (8, 16):
         for prec in (jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT):
             ak.ASG_TIME_BLOCK = kb
-            ak.CHAIN_PRECISION = prec
+            import torch_asg_tpu.ops.semiring as _sr; _sr.CHAIN_PRECISION = prec  # knob moved to ops.semiring in r2
 
             def step(tr, i):
                 loss, (gt, gi) = jax.value_and_grad(

@@ -44,7 +44,7 @@ def main():
     for prec in (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGH,
                  jax.lax.Precision.HIGHEST):
         for kb in (8, 16):
-            ak.CHAIN_PRECISION = prec
+            import torch_asg_tpu.ops.semiring as _sr; _sr.CHAIN_PRECISION = prec  # knob moved to ops.semiring in r2
             ak.ASG_TIME_BLOCK = kb
             step = jax.jit(
                 jax.value_and_grad(

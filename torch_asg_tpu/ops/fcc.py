@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .semiring import NEG_INF, logsumexp, masked_softmax
+from .semiring import NEG_INF, chain_precision, logsumexp, masked_softmax
 from ..utils.lengths import mask_emissions
 
 
@@ -176,7 +176,7 @@ def _lse_mm(x, mat, c):
     m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
     s = jnp.dot(
         jnp.exp(x - m_safe), mat,
-        preferred_element_type=x.dtype, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=x.dtype, precision=chain_precision(),
     )
     return jnp.log(s) + m_safe + c  # log(0) = -inf keeps dead rows dead
 
@@ -241,31 +241,27 @@ def _fcc_mm_bwd(res, g):
     e, c = _exp_mats(transition, inputs_m.dtype)
 
     # dT[i,j] = e[i,j] * sum_{t,b} U[t,b,i] V[t,b,j] with
-    #   V = exp(a_prev - m), U = gI * exp(I - a_cur + m + c):
-    # the per-step (N, B) x (B, N) matmul replaces the (B, N, N) tensor
-    # (identical math to the fused kernel's backward).
-    def step(acc, xs):
-        a_prev, a_cur, i_cur, gi = xs
-        m = jnp.max(a_prev, axis=1, keepdims=True)
-        m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-        v = jnp.exp(a_prev - m_safe)
-        sub = jnp.where(jnp.isfinite(a_cur), i_cur - a_cur, NEG_INF)
-        # The exponent is bounded by the transition-matrix row spread
-        # (c is the global max, not the row's own argmax path), so it is
-        # NOT provably <= 0: clamp it below the fp32 overflow point so a
-        # pathological >60-nat transition spread degrades gracefully
-        # (clamped magnitude, correct sign) instead of inf * 0 = NaN.
-        u = gi * jnp.exp(jnp.minimum(sub + m_safe + c, 60.0))
-        acc = acc + jax.lax.dot_general(
-            u, v, (((0,), (0,)), ((), ())),
-            preferred_element_type=acc.dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return acc, None
-
-    acc0 = jnp.zeros_like(e)
-    acc, _ = lax.scan(
-        step, acc0, (alpha[:-1], alpha[1:], inputs_m[1:], grad_inputs[1:])
+    #   V = exp(a_prev - m), U = gI * exp(I - a_cur + m + c).
+    # FACTOR FORM: U and V are built vectorized over (T-1, B, N) and
+    # contracted in ONE (N, TB) x (TB, N) matmul.  A per-step scan
+    # accumulating an (N, N) carry would stream the N^2 accumulator
+    # through HBM T times (80 GB at N=10k, T=100) versus one write here.
+    m = jnp.max(alpha[:-1], axis=2, keepdims=True)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    v = jnp.exp(alpha[:-1] - m_safe)
+    sub = jnp.where(jnp.isfinite(alpha[1:]), inputs_m[1:] - alpha[1:], NEG_INF)
+    # The exponent is bounded by the transition-matrix row spread
+    # (c is the global max, not the row's own argmax path), so it is
+    # NOT provably <= 0: clamp it below the fp32 overflow point so a
+    # pathological >60-nat transition spread degrades gracefully
+    # (clamped magnitude, correct sign) instead of inf * 0 = NaN.
+    u = grad_inputs[1:] * jnp.exp(jnp.minimum(sub + m_safe + c, 60.0))
+    tb = u.shape[0] * u.shape[1]
+    n = u.shape[2]
+    acc = jax.lax.dot_general(
+        u.reshape(tb, n), v.reshape(tb, n), (((0,), (0,)), ((), ())),
+        preferred_element_type=u.dtype,
+        precision=chain_precision(),
     )
     return (acc * e).astype(transition.dtype), grad_inputs, None
 

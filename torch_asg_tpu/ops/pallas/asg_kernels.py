@@ -57,6 +57,7 @@ returns the same (full, aligned) pair as the reference's streamed forward
 
 from __future__ import annotations
 
+
 import functools
 
 import jax
@@ -69,15 +70,14 @@ from ..fac import make_aligned, scatter_to_full
 
 # Lattice steps per sequential grid iteration (statically unrolled).
 ASG_TIME_BLOCK = 8
-# MXU precision for the chain matmuls.  Mosaic supports DEFAULT (one bf16
-# pass) and HIGHEST (six bf16 passes, ~f32).  DEFAULT measures ~20%
-# faster end-to-end and stays well inside the parity gates: per-step
-# rounding is ~2^-9 relative, scores drift ~0.06 nats over T=1000 (2e-5
-# relative), and gradient posteriors see only the per-step noise because
-# common-mode error cancels in every softmax.  Flip to HIGHEST for
-# bit-conservative runs; CPU interpret mode (the fp64 test suite) always
-# computes at full precision regardless.
-CHAIN_PRECISION = jax.lax.Precision.DEFAULT
+# MXU precision for the chain matmuls, shared with the matmul
+# formulation (knob + rationale live in ops/semiring.py: DEFAULT = one
+# bf16 pass, ~20% faster, ~2e-5 relative score drift at T=1000).
+# bench.py re-gates at HIGHEST each round via strict_chain_precision so
+# rounding regressions cannot hide.  CPU interpret mode (the fp64 test
+# suite) computes at full precision regardless.
+from ..semiring import chain_precision as _chain_precision
+from ..semiring import strict_chain_precision  # re-export for bench.py
 
 
 def _safe_max_rows(x):
@@ -118,7 +118,7 @@ def _col0(x, lane):
 
 
 def _dot(a, b, dt):
-    return jnp.dot(a, b, preferred_element_type=dt, precision=CHAIN_PRECISION)
+    return jnp.dot(a, b, preferred_element_type=dt, precision=_chain_precision())
 
 
 def _lane_pad(blk, width, fill):
@@ -334,7 +334,7 @@ def _bwd_kernel(
     )
     acc_t[:] += jax.lax.dot_general(
         u, pa_prev_f, (((0,), (0,)), ((), ())), preferred_element_type=dt,
-        precision=CHAIN_PRECISION,
+        precision=_chain_precision(),
     )
 
     qa_blk = jnp.stack(qa_rows)  # (K, B, S) log-domain alpha

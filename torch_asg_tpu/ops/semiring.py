@@ -13,9 +13,40 @@ Reference behavior being matched (not ported):
 
 from __future__ import annotations
 
+import contextlib
+
+import jax
 import jax.numpy as jnp
 
 NEG_INF = float("-inf")
+
+# MXU precision for the exp-domain chain matmuls (fused Pallas kernels
+# AND the large-vocabulary matmul formulation).  DEFAULT = one bf16 pass:
+# per-step rounding ~2^-9 relative, cumulative score drift ~2e-5 relative
+# at T=1000, measured ~20% faster end-to-end in the kernels and ~2x less
+# HBM traffic in the transition-streaming matmul path (XLA hoists the
+# bf16 conversion of exp(T - c) out of the scan).  bench.py re-gates at
+# HIGHEST every round via strict_chain_precision.
+CHAIN_PRECISION = jax.lax.Precision.DEFAULT
+_PRECISION_OVERRIDE = None
+
+
+def chain_precision():
+    return CHAIN_PRECISION if _PRECISION_OVERRIDE is None else _PRECISION_OVERRIDE
+
+
+@contextlib.contextmanager
+def strict_chain_precision(precision=jax.lax.Precision.HIGHEST):
+    """Trace chain matmuls at ``precision`` (Mosaic supports DEFAULT and
+    HIGHEST only).  Affects traces made inside the context: build and
+    call the jitted function within it."""
+    global _PRECISION_OVERRIDE
+    prev = _PRECISION_OVERRIDE
+    _PRECISION_OVERRIDE = precision
+    try:
+        yield
+    finally:
+        _PRECISION_OVERRIDE = prev
 
 
 def logsumexp(x: jnp.ndarray, axis: int, keepdims: bool = False) -> jnp.ndarray:
