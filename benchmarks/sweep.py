@@ -1,9 +1,10 @@
 """Multi-shape benchmark sweep for the ASG criterion on the local TPU.
 
 Prints one JSON line per configuration (fwd+bwd, forward-only, and
-Viterbi decode), using the honest chained + fetch-synced timing from
-utils.profiling (see bench.py for why plain dispatch timing lies through
-remote TPU tunnels).
+Viterbi decode), using the round-2 honest methodology: CHAIN_K
+data-dependent steps run inside ONE jit per dispatch (host-side feedback
+ops cost a ~0.3-1 ms dispatch floor through remote TPU tunnels — see
+bench.py and docs/PERF_R2.md), closed by a scalar fetch.
 
 Run: python benchmarks/sweep.py [--iters 20]
 """
@@ -48,6 +49,9 @@ def make_case(b, t, s, n):
     )
 
 
+CHAIN_K = 8
+
+
 def bench_config(name, b, t, s, n, iters, fetch_s):
     trans, inputs, targets, li, lo = make_case(b, t, s, n)
 
@@ -55,26 +59,34 @@ def bench_config(name, b, t, s, n, iters, fetch_s):
         loss, (gt, gi) = jax.value_and_grad(
             lambda tr, i: asg_loss(tr, i, targets, li, lo), (0, 1)
         )(trans, inp)
-        return loss, gi
+        return inp + 0.0 * gi, loss
 
     def fwd_step(inp):
-        return (asg_loss(trans, inp, targets, li, lo),)
+        loss = asg_loss(trans, inp, targets, li, lo)
+        return inp + 0.0 * loss, loss
 
     def vit_step(inp):
-        return (viterbi_decode(trans, inp, li).scores.sum(),)
+        s_ = viterbi_decode(trans, inp, li).scores.sum()
+        return inp + 0.0 * s_, s_
 
-    def feedback(x0, out):
-        probe = out[-1]
-        return x0 + 0.0 * jnp.sum(probe)
+    def make_chain(step):
+        def chain(inp):
+            inp_o, xs = jax.lax.scan(
+                lambda c, _: step(c), inp, None, length=CHAIN_K
+            )
+            return xs[-1], inp_o
+        return jax.jit(chain)
 
     rows = {}
     for key, fn in [("fwd_bwd", fb_step), ("forward_only", fwd_step),
                     ("viterbi", vit_step)]:
-        jfn = jax.jit(fn)
+        jfn = make_chain(fn)
+        jfn(inputs)
         best = min(
-            time_fn_chained(jfn, feedback, inputs, iters=iters, fetch_s=fetch_s)
+            time_fn_chained(jfn, lambda _, out: out[1], inputs,
+                            iters=iters, fetch_s=fetch_s)
             for _ in range(3)
-        )
+        ) / CHAIN_K
         rows[f"{key}_ms"] = round(best * 1e3, 3)
     frames = b * t
     print(

@@ -12,6 +12,7 @@ of emissions against compute automatically via the grid).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -36,10 +37,29 @@ def pad_axis(x: jnp.ndarray, size: int, axis: int, value) -> jnp.ndarray:
     return jnp.pad(x, widths, constant_values=value)
 
 
-@functools.cache
+_INTERPRET_OVERRIDE = None
+
+
 def use_interpret() -> bool:
-    """Run kernels in interpreter mode off-TPU (tests on CPU meshes)."""
+    """Run kernels in interpreter mode off-TPU (tests on CPU meshes).
+
+    The default tracks the process-default backend; ``force_interpret``
+    overrides it for programs placed on a CPU mesh from a TPU-default
+    process (e.g. the driver's virtual multi-chip dry run)."""
+    if _INTERPRET_OVERRIDE is not None:
+        return _INTERPRET_OVERRIDE
     return jax.default_backend() != "tpu"
+
+
+@contextlib.contextmanager
+def force_interpret(value: bool = True):
+    global _INTERPRET_OVERRIDE
+    prev = _INTERPRET_OVERRIDE
+    _INTERPRET_OVERRIDE = value
+    try:
+        yield
+    finally:
+        _INTERPRET_OVERRIDE = prev
 
 
 def kernel_dtype(x: jnp.ndarray) -> jnp.dtype:

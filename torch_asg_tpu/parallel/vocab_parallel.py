@@ -43,7 +43,7 @@ from ..ops.fac import (
     _shift_right_s,
 )
 from ..asg import _prep
-from ..ops.semiring import NEG_INF, logsumexp, masked_softmax
+from ..ops.semiring import NEG_INF, chain_precision, logsumexp, masked_softmax
 from ..utils.lengths import label_mask, mask_emissions, time_mask
 
 # ---------------------------------------------------------------------------
@@ -106,7 +106,7 @@ def _lse_rows(x, e_mat, c):
     m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
     s = jnp.dot(
         jnp.exp(x - m_safe), e_mat,
-        preferred_element_type=x.dtype, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=x.dtype, precision=chain_precision(),
     )
     return jnp.log(s) + m_safe + c
 
@@ -166,32 +166,29 @@ def _fcc_bwd_vp(trans_rows, inputs_m, alpha, beta, score, g, axis):
     grad_inputs = jnp.exp(gamma - score[None, :, None]) * g[None, :, None]
 
     # dT_rows[i,j] = e_rows[i,j] * sum_{t,b} U[t,b,i] V[t,b,j] with
-    # V = exp(a_prev - m), U = gi * exp(I - a_cur + m + c): one
-    # (Np, B) x (B, N) matmul per step instead of a (B, Np, N) tensor
-    # (the matmul identity of ops.fcc._fcc_mm_bwd, per row shard).
+    # V = exp(a_prev - m), U = gi * exp(I - a_cur + m + c).
+    # FACTOR FORM (mirrors ops.fcc._fcc_mm_bwd): U (local rows) and V
+    # (full columns) are built vectorized over (T-1, B, *) and contracted
+    # in ONE (Np, TB) x (TB, N) matmul — and the per-step all_gather of
+    # alpha becomes a single tiled all_gather of the whole alpha tensor,
+    # one big ICI transfer instead of T-1 latency-bound small ones.
     e_rows, c = _exp_rows_mat(trans_rows, inputs_m.dtype)
 
-    def step(acc, xs):
-        a_prev_shard, a_cur, i_cur, gi = xs
-        a_prev = lax.all_gather(a_prev_shard, axis, axis=1, tiled=True)  # (B, N)
-        m = jnp.max(a_prev, axis=1, keepdims=True)
-        m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-        v = jnp.exp(a_prev - m_safe)
-        sub = jnp.where(jnp.isfinite(a_cur), i_cur - a_cur, NEG_INF)  # (B, Np)
-        # Clamped like ops.fcc._fcc_mm_bwd: the exponent is bounded by the
-        # transition row spread, not by 0, so a >60-nat spread would
-        # overflow to inf and NaN the dT matmul without the clamp.
-        u = gi * jnp.exp(jnp.minimum(sub + m_safe + c, 60.0))
-        acc = acc + jax.lax.dot_general(
-            u, v, (((0,), (0,)), ((), ())),
-            preferred_element_type=acc.dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return acc, None
-
-    acc0 = jnp.zeros_like(e_rows)
-    acc, _ = lax.scan(
-        step, acc0, (alpha[:-1], alpha[1:], inputs_m[1:], grad_inputs[1:])
+    a_prev_full = lax.all_gather(alpha[:-1], axis, axis=2, tiled=True)  # (T-1, B, N)
+    m = jnp.max(a_prev_full, axis=2, keepdims=True)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    v = jnp.exp(a_prev_full - m_safe)
+    sub = jnp.where(jnp.isfinite(alpha[1:]), inputs_m[1:] - alpha[1:], NEG_INF)
+    # Clamped like ops.fcc._fcc_mm_bwd: the exponent is bounded by the
+    # transition row spread, not by 0, so a >60-nat spread would
+    # overflow to inf and NaN the dT matmul without the clamp.
+    u = grad_inputs[1:] * jnp.exp(jnp.minimum(sub + m_safe + c, 60.0))
+    tb = u.shape[0] * u.shape[1]
+    acc = jax.lax.dot_general(
+        u.reshape(tb, u.shape[2]), v.reshape(tb, v.shape[2]),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=u.dtype,
+        precision=chain_precision(),
     )
     return (acc * e_rows).astype(trans_rows.dtype), grad_inputs
 
