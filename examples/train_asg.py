@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from torch_asg_tpu import viterbi_decode
 from torch_asg_tpu.models import Wav2Letter, create_train_state, make_train_step
-from torch_asg_tpu.runtime import collapse_path, encode_targets, pack_frames
+from torch_asg_tpu.runtime import (BatchPrefetcher, cmvn, collapse_path,
+                                   encode_targets, pack_frames)
 from torch_asg_tpu.utils.profiling import trace
 
 ALPHABET = 26  # letters; +2 repeat symbols -> 28 labels
@@ -49,6 +50,7 @@ def synthetic_batch(rng: np.random.Generator, batch_size: int, max_frames: int):
         feats = np.concatenate(feats)[:max_frames]
         utts.append(feats)
         label_seqs.append(labels.astype(np.int32))
+    utts = cmvn(utts)  # per-utterance feature normalization (C++ runtime)
     features, feat_lengths = pack_frames(utts)  # (T, B, F) via the C++ runtime
     targets, target_lengths = encode_targets(label_seqs, ALPHABET, MAX_REPS)
     return {
@@ -90,9 +92,16 @@ def main():
 
     rng = np.random.default_rng(0)
     start = int(state.step)
-    with trace(args.profile_dir or None):
-        for step in range(start, start + args.steps):
-            batch, _ = synthetic_batch(rng, args.batch_size, max_frames=32)
+    # async input pipeline: CMVN + packing + encoding (C++/OpenMP, GIL-
+    # free) for the NEXT batches run while the chip executes this step
+    steps_iter = range(start, start + args.steps)
+    prefetcher = BatchPrefetcher(
+        steps_iter,
+        lambda _s: synthetic_batch(rng, args.batch_size, max_frames=32)[0],
+        depth=2,
+    )
+    with trace(args.profile_dir or None), prefetcher:
+        for step, batch in zip(steps_iter, prefetcher):
             state, loss = train_step(state, batch)
             if step % 5 == 0 or step == start + args.steps - 1:
                 print(f"step {step:4d}  loss {float(loss):8.4f}")

@@ -14,6 +14,7 @@
 // Build: make -C native   (g++ -O3 -fopenmp -shared -fPIC)
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <limits>
@@ -101,6 +102,40 @@ int64_t asg_encode_batch(const int32_t* labels, const int64_t* offsets,
         global_max = std::max(global_max, n);
     }
     return global_max;
+}
+
+// Per-utterance cepstral mean (and optionally variance) normalization of
+// concatenated ragged frames — the standard wav2letter front-end transform
+// applied on the host while the chip computes.  In place; two passes per
+// utterance; OpenMP across utterances.
+void asg_cmvn(float* frames, const int64_t* offsets, int64_t num_batches,
+              int64_t feat_dim, float epsilon, int32_t norm_var) {
+#pragma omp parallel for
+    for (int64_t b = 0; b < num_batches; ++b) {
+        const int64_t beg = offsets[b];
+        const int64_t len = offsets[b + 1] - beg;
+        if (len <= 0) continue;
+        float* base = frames + beg * feat_dim;
+        for (int64_t f = 0; f < feat_dim; ++f) {
+            double sum = 0.0, sq = 0.0;
+            for (int64_t t = 0; t < len; ++t) {
+                const double v = base[t * feat_dim + f];
+                sum += v;
+                sq += v * v;
+            }
+            const double mean = sum / static_cast<double>(len);
+            double scale = 1.0;
+            if (norm_var) {
+                const double var =
+                    std::max(sq / static_cast<double>(len) - mean * mean, 0.0);
+                scale = 1.0 / std::sqrt(var + static_cast<double>(epsilon));
+            }
+            for (int64_t t = 0; t < len; ++t) {
+                float* v = base + t * feat_dim + f;
+                *v = static_cast<float>((*v - mean) * scale);
+            }
+        }
+    }
 }
 
 // Decode-side: collapse consecutive duplicate frame labels and drop

@@ -186,3 +186,33 @@ def test_explicit_fused_past_width_budget_raises(rng):
     # 'auto' still degrades to matmul and computes
     loss = asg_loss(jnp.zeros((N, N)), inputs, targets, impl="auto")
     assert np.isfinite(float(loss))
+
+
+def test_strict_chain_precision_context(rng):
+    """The precision override must apply to traces made inside the
+    context and restore afterwards (bench.py's strict gate depends on
+    this); on CPU both settings compute identically."""
+    from torch_asg_tpu.ops import semiring
+    from torch_asg_tpu.ops.semiring import strict_chain_precision
+
+    assert semiring.chain_precision() == jax.lax.Precision.DEFAULT
+    with strict_chain_precision():
+        assert semiring.chain_precision() == jax.lax.Precision.HIGHEST
+        inputs = jnp.asarray(rng.normal(size=(8, 2, 5)))
+        targets = jnp.asarray(rng.integers(0, 5, size=(2, 3)), jnp.int32)
+        strict = asg_loss(jnp.zeros((5, 5)), inputs, targets, impl="fused")
+    assert semiring.chain_precision() == jax.lax.Precision.DEFAULT
+    loose = asg_loss(jnp.zeros((5, 5)), inputs, targets, impl="fused")
+    np.testing.assert_allclose(np.asarray(strict), np.asarray(loose), rtol=1e-9)
+
+
+def test_force_interpret_context():
+    from torch_asg_tpu.ops.pallas.common import force_interpret, use_interpret
+
+    base = use_interpret()
+    with force_interpret(True):
+        assert use_interpret() is True
+        with force_interpret(False):
+            assert use_interpret() is False
+        assert use_interpret() is True
+    assert use_interpret() == base

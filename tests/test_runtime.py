@@ -85,3 +85,96 @@ def test_collapse_path_parity(rng):
     # -1 dropped; runs collapsed (also across -1 gaps); 26 is rep1 ->
     # expands the previous label once
     assert got_np.tolist() == [0, 1, 2, 2, 3]
+
+
+def test_cmvn_native_matches_numpy():
+    from torch_asg_tpu.runtime import cmvn
+
+    r = np.random.default_rng(11)
+    utts = [
+        np.asarray(r.normal(loc=3.0, scale=2.5, size=(40, 8)), np.float32),
+        np.asarray(r.normal(loc=-1.0, scale=0.2, size=(7, 8)), np.float32),
+        np.zeros((1, 8), np.float32),  # zero-variance edge case
+    ]
+    out_native = cmvn(utts, use_native=True)
+    out_np = cmvn(utts, use_native=False)
+    for a, b in zip(out_native, out_np):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    # normalized stats: per-dim mean ~0, var ~1 for the long utterance
+    np.testing.assert_allclose(out_np[0].mean(axis=0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(out_np[0].var(axis=0), 1.0, atol=1e-3)
+    # inputs untouched
+    assert float(utts[0].mean()) != 0.0
+
+
+def test_cmvn_mean_only():
+    from torch_asg_tpu.runtime import cmvn
+
+    r = np.random.default_rng(12)
+    u = np.asarray(r.normal(loc=5.0, scale=3.0, size=(30, 4)), np.float32)
+    for native in (True, False):
+        (out,) = cmvn([u], norm_var=False, use_native=native)
+        np.testing.assert_allclose(out.mean(axis=0), 0.0, atol=1e-4)
+        np.testing.assert_allclose(out.var(axis=0), u.var(axis=0), rtol=1e-4)
+
+
+def test_prefetcher_order_and_contents():
+    from torch_asg_tpu.runtime import BatchPrefetcher
+
+    items = list(range(20))
+    with BatchPrefetcher(items, lambda x: x * x, depth=3) as pf:
+        assert list(pf) == [x * x for x in items]
+
+
+def test_prefetcher_propagates_exceptions():
+    from torch_asg_tpu.runtime import BatchPrefetcher
+
+    def bad(x):
+        if x == 3:
+            raise RuntimeError("boom at 3")
+        return x
+
+    pf = BatchPrefetcher(range(10), bad, depth=2)
+    got = []
+    with pytest.raises(RuntimeError, match="boom at 3"):
+        for v in pf:
+            got.append(v)
+    assert got == [0, 1, 2]
+
+
+def test_prefetcher_early_close_stops_worker():
+    import threading
+
+    from torch_asg_tpu.runtime import BatchPrefetcher
+
+    produced = []
+
+    def prepare(x):
+        produced.append(x)
+        return x
+
+    pf = BatchPrefetcher(range(10_000), prepare, depth=2)
+    first = next(pf)
+    assert first == 0
+    pf.close()
+    assert pf._worker.is_alive() is False
+    # bounded lookahead: worker never ran far beyond the queue depth
+    assert len(produced) < 50
+    with pytest.raises(StopIteration):
+        next(pf)
+
+
+def test_device_prefetch_puts_on_device():
+    import jax
+
+    from torch_asg_tpu.runtime import device_prefetch
+
+    batches = [
+        {"x": np.ones((4, 3), np.float32) * i, "n": np.int32(i)}
+        for i in range(3)
+    ]
+    with device_prefetch(batches, lambda b: b, depth=2) as pf:
+        out = list(pf)
+    assert len(out) == 3
+    assert isinstance(out[1]["x"], jax.Array)
+    np.testing.assert_allclose(np.asarray(out[2]["x"]), 2.0)

@@ -10,6 +10,8 @@ from .ops.fac import fac_score
 from .ops.fcc import fcc_score
 from .ops.posteriors import fac_posteriors, fcc_posteriors
 from .ops.viterbi import viterbi_align, viterbi_decode
+from .ops.wfsa import (WFSA, chain_wfsa, full_wfsa, wfsa_posteriors,
+                       wfsa_score, wfsa_viterbi)
 
 __version__ = "0.1.0"
 
@@ -23,4 +25,10 @@ __all__ = [
     "fac_posteriors",
     "viterbi_decode",
     "viterbi_align",
+    "WFSA",
+    "chain_wfsa",
+    "full_wfsa",
+    "wfsa_score",
+    "wfsa_viterbi",
+    "wfsa_posteriors",
 ]

@@ -1,0 +1,268 @@
+"""Generic weighted-FSA scoring over emission lattices.
+
+The reference's last unchecked roadmap item is "generalization to better
+integrate with general WFSTs decoders" (zh217/torch-asg ``README.md:34``).
+This module is that generalization at the criterion level: score ANY
+epsilon-free weighted finite-state acceptor against a (T, B, N) emission
+lattice in the log or tropical semiring.  The ASG lattices are the two
+extreme special cases (pinned by tests):
+
+  * the fully-connected denominator = the N-state complete automaton
+    (``fcc_score``);
+  * the force-aligned numerator = the linear chain automaton over the
+    target sequence (``fac_score``).
+
+Anything between — lexicons, n-gram grammars, pronunciation graphs,
+decoding graphs composed offline — scores through the same entry point,
+so an external WFST toolkit only needs to EXPORT its composed graph as
+arc arrays.
+
+TPU-first design
+  * The graph is static per compilation (arc arrays are jit constants or
+    donated args); recursions are ``lax.scan`` over T with static shapes.
+  * Per step: arc scores (B, E) = alpha[:, src] + w + I[t, :, ilabel],
+    reduced per destination state with a deterministic segment logsumexp
+    (segment_max + segment_sum of exps) — XLA scatters are deterministic,
+    unlike the reference's CUDA atomicAdd path.
+  * Gradients flow by autodiff through the scan (the segment ops are
+    differentiable); occupation marginals come from the standard
+    alpha+beta identity like ops/posteriors.py.
+  * The tropical variant returns the best path through the automaton
+    (argmax backtrace over incoming arcs), generalizing viterbi_align.
+
+Scale notes: work is O(T * B * E); states/arcs live in (B, S)/(B, E)
+rows.  For letter-scale graphs (E up to a few thousand) this is XLA-scan
+territory like ops/viterbi.py; the fused Pallas path stays specialized to
+the two ASG lattices where the structure admits matmul/band forms.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .semiring import NEG_INF, logsumexp
+
+
+class WFSA(NamedTuple):
+    """Epsilon-free weighted acceptor (log-domain weights).
+
+    States are 0..num_states-1.  Arc e accepts emission label
+    ``ilabel[e]`` moving ``src[e] -> dst[e]`` with weight ``weight[e]``.
+    ``start`` / ``final`` are (num_states,) log-weights (-inf = absent).
+    Every path consumes exactly one emission frame per arc.
+    """
+
+    src: jnp.ndarray  # (E,) int32
+    dst: jnp.ndarray  # (E,) int32
+    ilabel: jnp.ndarray  # (E,) int32 emission labels
+    weight: jnp.ndarray  # (E,) float
+    start: jnp.ndarray  # (S,) float log start weights
+    final: jnp.ndarray  # (S,) float log final weights
+
+    @property
+    def num_states(self) -> int:
+        return self.start.shape[0]
+
+    @property
+    def num_arcs(self) -> int:
+        return self.src.shape[0]
+
+
+def chain_wfsa(
+    labels: jnp.ndarray,
+    self_weights: jnp.ndarray,
+    next_weights: jnp.ndarray,
+) -> WFSA:
+    """The force-aligned linear chain for ONE target sequence: state s
+    self-loops with ``self_weights[s]`` and advances s -> s+1 with
+    ``next_weights[s]``, emitting ``labels[s]`` / ``labels[s+1]``.
+
+    Paths consume one ARC per frame (acceptor semantics), so a
+    super-initial state sigma feeds state 0 with a free arc emitting
+    ``labels[0]`` — this reproduces the lattice convention where frame 0
+    is emitted with no transition score (``force_aligned_lattice.cpp:294``
+    seeds alpha_0 at s = 0 with the bare emission)."""
+    n = labels.shape[0]
+    dt = self_weights.dtype
+    sigma = n  # super-initial state id
+    src = jnp.concatenate(
+        [jnp.asarray([sigma]), jnp.arange(n), jnp.arange(n - 1)]
+    ).astype(jnp.int32)
+    dst = jnp.concatenate(
+        [jnp.asarray([0]), jnp.arange(n), jnp.arange(1, n)]
+    ).astype(jnp.int32)
+    ilab = jnp.concatenate([labels[:1], labels, labels[1:]]).astype(jnp.int32)
+    w = jnp.concatenate(
+        [jnp.zeros((1,), dt), self_weights, next_weights[: n - 1]]
+    ).astype(dt)
+    start = jnp.full((n + 1,), NEG_INF, dt).at[sigma].set(0.0)
+    final = jnp.full((n + 1,), NEG_INF, dt).at[n - 1].set(0.0)
+    return WFSA(src, dst, ilab, w, start, final)
+
+
+def full_wfsa(transition: jnp.ndarray) -> WFSA:
+    """The fully-connected automaton of the ASG denominator: state i
+    emits label i; arc j -> i carries ``transition[i, j]``; a
+    super-initial state feeds every label with weight 0 (frame 0 carries
+    no transition score, matching ``fully_connected_lattice.cpp``'s
+    alpha_0 = I_0)."""
+    n = transition.shape[0]
+    dt = transition.dtype
+    sigma = n
+    ii, jj = jnp.meshgrid(jnp.arange(n), jnp.arange(n), indexing="ij")
+    src = jnp.concatenate(
+        [jnp.full((n,), sigma), jj.reshape(-1)]
+    ).astype(jnp.int32)
+    dst = jnp.concatenate([jnp.arange(n), ii.reshape(-1)]).astype(jnp.int32)
+    ilab = dst
+    w = jnp.concatenate([jnp.zeros((n,), dt), transition.reshape(-1)]).astype(dt)
+    start = jnp.full((n + 1,), NEG_INF, dt).at[sigma].set(0.0)
+    final = jnp.zeros((n + 1,), dt).at[sigma].set(NEG_INF)
+    return WFSA(src, dst, ilab, w, start, final)
+
+
+def _arc_emissions(i_t: jnp.ndarray, ilabel: jnp.ndarray) -> jnp.ndarray:
+    """(B, E) emission score of each arc at one frame: I[t, :, ilabel]."""
+    return jnp.take(i_t, ilabel, axis=1)
+
+
+def _segment_lse(scores: jnp.ndarray, dst: jnp.ndarray, num_states: int):
+    """Log-semiring sum of (B, E) arc scores into (B, S) destinations."""
+    m = jax.ops.segment_max(
+        scores.T, dst, num_segments=num_states, indices_are_sorted=False
+    )  # (S, B)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    s = jax.ops.segment_sum(
+        jnp.exp(scores.T - m_safe[dst]), dst, num_segments=num_states
+    )
+    out = jnp.where(s > 0, jnp.log(jnp.where(s > 0, s, 1.0)) + m_safe, NEG_INF)
+    return out.T  # (B, S)
+
+
+def wfsa_score(
+    fsa: WFSA,
+    inputs: jnp.ndarray,
+    input_lengths: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Log-semiring total path score per batch element, shape (B,).
+
+    score_b = lse over accepting paths (one ARC per frame, L_in[b] arcs):
+      start[p_0] + sum_t (weight[e_t] + I[t, b, ilabel[e_t]]) + final[p_L].
+    Ragged lengths are masked: alpha freezes past L_in[b] and the final
+    combination is snapshotted at t == L_in[b] - 1.
+    """
+    t_total, num_batches, _ = inputs.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((num_batches,), t_total, jnp.int32)
+    dt = inputs.dtype
+    alpha0 = jnp.broadcast_to(fsa.start.astype(dt), (num_batches, fsa.num_states))
+
+    def step(carry, xs):
+        alpha, score = carry
+        t, i_t = xs
+        arc = (
+            jnp.take(alpha, fsa.src, axis=1)
+            + fsa.weight.astype(dt)[None, :]
+            + _arc_emissions(i_t, fsa.ilabel)
+        )
+        alpha_new = _segment_lse(arc, fsa.dst, fsa.num_states)
+        active = (t < input_lengths)[:, None]
+        alpha = jnp.where(active, alpha_new, alpha)
+        # score snapshots at t == L_in - 1
+        done = (t == input_lengths - 1)[:, None]
+        fin = logsumexp(alpha + fsa.final.astype(dt)[None, :], axis=1)
+        score = jnp.where(done[:, 0], fin, score)
+        return (alpha, score), None
+
+    ts = jnp.arange(t_total)
+    (alpha, score), _ = lax.scan(
+        step, (alpha0, jnp.full((num_batches,), NEG_INF, dt)), (ts, inputs)
+    )
+    return score
+
+
+class WFSAPath(NamedTuple):
+    scores: jnp.ndarray  # (B,) best-path scores
+    states: jnp.ndarray  # (T, B) int32 state sequence (dst of each frame), -1 pad
+    labels: jnp.ndarray  # (T, B) int32 emitted labels, -1 at padding
+
+
+def wfsa_viterbi(
+    fsa: WFSA,
+    inputs: jnp.ndarray,
+    input_lengths: Optional[jnp.ndarray] = None,
+) -> WFSAPath:
+    """Tropical-semiring best path through the automaton (decode), with
+    an arc backtrace — the WFST-decoder integration point."""
+    t_total, num_batches, _ = inputs.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((num_batches,), t_total, jnp.int32)
+    dt = inputs.dtype
+    alpha0 = jnp.broadcast_to(fsa.start.astype(dt), (num_batches, fsa.num_states))
+
+    def step(alpha, xs):
+        t, i_t = xs
+        arc = (
+            jnp.take(alpha, fsa.src, axis=1)
+            + fsa.weight.astype(dt)[None, :]
+            + _arc_emissions(i_t, fsa.ilabel)
+        )  # (B, E)
+        best = jax.ops.segment_max(
+            arc.T, fsa.dst, num_segments=fsa.num_states
+        ).T  # (B, S)
+        # arc index achieving the max per destination (deterministic:
+        # lowest arc id wins ties via the min over matching arcs)
+        is_best = arc >= jnp.take(best, fsa.dst, axis=1) - 0.0
+        arc_ids = jnp.arange(fsa.num_arcs, dtype=jnp.int32)[None, :]
+        big = jnp.asarray(fsa.num_arcs, jnp.int32)
+        cand = jnp.where(is_best & jnp.isfinite(arc), arc_ids, big)
+        back = jax.ops.segment_min(
+            cand.T, fsa.dst, num_segments=fsa.num_states
+        ).T  # (B, S) best incoming arc id (or E when unreachable)
+        active = (t < input_lengths)[:, None]
+        alpha_new = jnp.where(active, best, alpha)
+        back = jnp.where(active, back, big)
+        return alpha_new, back
+
+    ts = jnp.arange(t_total)
+    alpha_fin, backs = lax.scan(step, alpha0, (ts, inputs))  # backs (T, B, S)
+
+    final_tot = alpha_fin + fsa.final.astype(dt)[None, :]
+    scores = jnp.max(final_tot, axis=1)
+    end_state = jnp.argmax(final_tot, axis=1).astype(jnp.int32)
+
+    src_ext = jnp.concatenate([fsa.src, jnp.zeros((1,), jnp.int32)])
+    lab_ext = jnp.concatenate([fsa.ilabel, -jnp.ones((1,), jnp.int32)])
+
+    def backtrack(state, xs):
+        t, back_t = xs  # back_t (B, S)
+        inside = t < input_lengths
+        arc = back_t[jnp.arange(num_batches), state]  # (B,)
+        arc = jnp.where(inside, arc, fsa.num_arcs)
+        lab = jnp.take(lab_ext, arc)
+        prev = jnp.where(inside, jnp.take(src_ext, arc), state)
+        out_state = jnp.where(inside, state, -1)
+        return prev, (out_state, lab)
+
+    ts_rev = jnp.arange(t_total - 1, -1, -1)
+    _, (states_rev, labels_rev) = lax.scan(
+        backtrack, end_state, (ts_rev, backs[::-1])
+    )
+    return WFSAPath(scores, states_rev[::-1], labels_rev[::-1])
+
+
+def wfsa_posteriors(
+    fsa: WFSA,
+    inputs: jnp.ndarray,
+    input_lengths: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Per-frame emission-label occupation marginals (T, B, N):
+    d score / d inputs — soft alignments under the automaton."""
+    if input_lengths is None:
+        t_total, num_batches, _ = inputs.shape
+        input_lengths = jnp.full((num_batches,), t_total, jnp.int32)
+    return jax.grad(lambda i: wfsa_score(fsa, i, input_lengths).sum())(inputs)

@@ -79,6 +79,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32),
     ]
     lib.asg_collapse_path.restype = ctypes.c_int64
+    lib.asg_cmvn.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_float,
+        ctypes.c_int32,
+    ]
     _lib = lib
     return lib
 
@@ -242,3 +250,62 @@ def collapse_path(
         else:
             out.append(lab)
     return np.asarray(out, np.int32)
+
+
+def cmvn(
+    utterances: Sequence[np.ndarray],
+    epsilon: float = 1e-5,
+    norm_var: bool = True,
+    use_native: Optional[bool] = None,
+) -> list:
+    """Per-utterance cepstral mean (and variance) normalization.
+
+    The standard wav2letter front-end transform, run on the host data
+    path (C++/OpenMP when available) while the chip computes.  Returns
+    new (T_b, F) float32 arrays; inputs are not modified.
+    """
+    num_batches = len(utterances)
+    if num_batches == 0:
+        return []
+    feat_dim = utterances[0].shape[1]
+    for b, u in enumerate(utterances):
+        if u.ndim != 2 or u.shape[1] != feat_dim:
+            raise ValueError(
+                f"utterance {b} has shape {u.shape}; expected (*, {feat_dim})"
+            )
+    lib = _load() if use_native in (None, True) else None
+    if lib is not None and use_native is not False:
+        lengths = np.array([u.shape[0] for u in utterances], np.int64)
+        flat = np.ascontiguousarray(
+            np.concatenate(
+                [np.asarray(u, np.float32) for u in utterances], axis=0
+            ),
+            np.float32,
+        )
+        offsets = np.zeros(num_batches + 1, np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        lib.asg_cmvn(
+            _ptr(flat, ctypes.c_float),
+            _ptr(offsets, ctypes.c_int64),
+            num_batches,
+            feat_dim,
+            epsilon,
+            1 if norm_var else 0,
+        )
+        return [
+            flat[offsets[b] : offsets[b + 1]].copy()
+            for b in range(num_batches)
+        ]
+    out = []
+    for u in utterances:
+        u = np.asarray(u, np.float32)
+        if u.shape[0] == 0:
+            out.append(u.copy())
+            continue
+        mean = u.mean(axis=0, dtype=np.float64)
+        if norm_var:
+            var = u.var(axis=0, dtype=np.float64)
+            out.append(((u - mean) / np.sqrt(var + epsilon)).astype(np.float32))
+        else:
+            out.append((u - mean).astype(np.float32))
+    return out
