@@ -1,0 +1,147 @@
+"""Streaming (chunked/online) scoring vs one-shot oracles.
+
+The streaming API must reproduce the one-shot ``fcc_score``/``fac_score``
+exactly on the concatenation of the chunks fed so far — including ragged
+chunk boundaries where batch elements advance at different rates.  The
+reference has no streaming mode (its recursions consume the whole
+(T, B, N) tensor, ``fully_connected_lattice.cpp`` /
+``force_aligned_lattice.cpp``); this pins the online counterpart.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_asg_tpu.ops.fac import fac_score
+from torch_asg_tpu.ops.fcc import fcc_score
+from torch_asg_tpu.ops.streaming import (
+    streaming_init,
+    streaming_scores,
+    streaming_update,
+)
+
+B, N, S = 3, 6, 4
+
+
+def _problem(rng, t_total=15):
+    transition = jnp.asarray(rng.normal(size=(N, N)), jnp.float64)
+    inputs = jnp.asarray(rng.normal(size=(t_total, B, N)), jnp.float64)
+    targets = jnp.asarray(rng.integers(0, N, size=(B, S)), jnp.int32)
+    target_lengths = jnp.asarray([S, S - 1, S - 2], jnp.int32)
+    return transition, inputs, targets, target_lengths
+
+
+@pytest.mark.parametrize("splits", [[15], [5, 5, 5], [1] * 15, [7, 8], [2, 13]])
+def test_streaming_matches_oneshot(rng, splits):
+    t_total = 15
+    transition, inputs, targets, target_lengths = _problem(rng, t_total)
+    input_lengths = jnp.full((B,), t_total, jnp.int32)
+
+    st = streaming_init(B, N, S, dtype=jnp.float64)
+    off = 0
+    for t_c in splits:
+        st = streaming_update(
+            transition, st, inputs[off : off + t_c], targets,
+            target_lengths=target_lengths,
+        )
+        off += t_c
+    full, aligned = streaming_scores(st, target_lengths)
+
+    want_full = fcc_score(transition, inputs, input_lengths)
+    want_aligned = fac_score(
+        transition, inputs, targets, input_lengths, target_lengths
+    )
+    np.testing.assert_allclose(full, want_full, rtol=1e-12)
+    np.testing.assert_allclose(aligned, want_aligned, rtol=1e-12)
+    np.testing.assert_array_equal(st.frames_seen, input_lengths)
+
+
+def test_streaming_prefix_scores(rng):
+    """After every chunk, the readout equals the one-shot score on the
+    prefix consumed so far."""
+    t_total = 12
+    transition, inputs, targets, target_lengths = _problem(rng, t_total)
+
+    st = streaming_init(B, N, S, dtype=jnp.float64)
+    off = 0
+    for t_c in [3, 4, 5]:
+        st = streaming_update(
+            transition, st, inputs[off : off + t_c], targets,
+            target_lengths=target_lengths,
+        )
+        off += t_c
+        pref = jnp.full((B,), off, jnp.int32)
+        full, aligned = streaming_scores(st, target_lengths)
+        want_full = fcc_score(transition, inputs[:off], pref)
+        want_aligned = fac_score(
+            transition, inputs[:off], targets, pref, target_lengths
+        )
+        np.testing.assert_allclose(full, want_full, rtol=1e-12)
+        np.testing.assert_allclose(aligned, want_aligned, rtol=1e-12)
+
+
+def test_streaming_ragged_chunks(rng):
+    """Batch elements advancing at different rates across calls: the final
+    state depends only on each element's own consumed prefix."""
+    t_total = 10
+    transition, inputs, targets, target_lengths = _problem(rng, t_total)
+    # element 0 consumes 10 frames, element 1 consumes 7, element 2 consumes 4
+    final_lengths = jnp.asarray([10, 7, 4], jnp.int32)
+
+    st = streaming_init(B, N, S, dtype=jnp.float64)
+    consumed = np.zeros(B, np.int64)
+    for t_c in [4, 3, 3]:
+        chunk_lengths = jnp.minimum(
+            jnp.asarray(final_lengths) - consumed, t_c
+        ).astype(jnp.int32)
+        chunk_lengths = jnp.maximum(chunk_lengths, 0)
+        # each element reads its own next frames: build the chunk per element
+        chunk = np.full((t_c, B, N), 0.0)
+        for b in range(B):
+            for t in range(int(chunk_lengths[b])):
+                chunk[t, b] = np.asarray(inputs[consumed[b] + t, b])
+        st = streaming_update(
+            transition, st, jnp.asarray(chunk, jnp.float64), targets,
+            chunk_lengths=chunk_lengths, target_lengths=target_lengths,
+        )
+        consumed += np.asarray(chunk_lengths)
+
+    full, aligned = streaming_scores(st, target_lengths)
+    want_full = fcc_score(transition, inputs, final_lengths)
+    want_aligned = fac_score(
+        transition, inputs, targets, final_lengths, target_lengths
+    )
+    np.testing.assert_allclose(full, want_full, rtol=1e-12)
+    np.testing.assert_allclose(aligned, want_aligned, rtol=1e-12)
+    np.testing.assert_array_equal(st.frames_seen, final_lengths)
+
+
+def test_streaming_aligned_inf_until_coverable(rng):
+    """The aligned score is -inf while the consumed prefix is shorter than
+    the target (no monotone alignment exists yet)."""
+    transition, inputs, targets, target_lengths = _problem(rng, 8)
+    st = streaming_init(B, N, S, dtype=jnp.float64)
+    st = streaming_update(
+        transition, st, inputs[:2], targets, target_lengths=target_lengths
+    )
+    full, aligned = streaming_scores(st, target_lengths)
+    # lengths are [4, 3, 2]: after 2 frames only element 2 (L_out=2) is coverable
+    assert np.isneginf(np.asarray(aligned)[0])
+    assert np.isneginf(np.asarray(aligned)[1])
+    assert np.isfinite(np.asarray(aligned)[2])
+    assert np.all(np.isfinite(np.asarray(full)))
+
+
+def test_streaming_update_jits(rng):
+    transition, inputs, targets, target_lengths = _problem(rng, 9)
+    upd = jax.jit(streaming_update)
+    st = streaming_init(B, N, S, dtype=jnp.float64)
+    for off in range(0, 9, 3):
+        st = upd(
+            transition, st, inputs[off : off + 3], targets,
+            target_lengths=target_lengths,
+        )
+    full, _ = streaming_scores(st, target_lengths)
+    want = fcc_score(transition, inputs, jnp.full((B,), 9, jnp.int32))
+    np.testing.assert_allclose(full, want, rtol=1e-12)

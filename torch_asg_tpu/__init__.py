@@ -10,6 +10,8 @@ from .ops.fac import fac_score
 from .ops.fcc import fcc_score
 from .ops.posteriors import fac_posteriors, fcc_posteriors
 from .ops.viterbi import viterbi_align, viterbi_decode
+from .ops.streaming import (StreamingState, streaming_init,
+                            streaming_scores, streaming_update)
 from .ops.wfsa import (WFSA, chain_wfsa, full_wfsa, wfsa_posteriors,
                        wfsa_score, wfsa_viterbi)
 
@@ -31,4 +33,8 @@ __all__ = [
     "wfsa_score",
     "wfsa_viterbi",
     "wfsa_posteriors",
+    "StreamingState",
+    "streaming_init",
+    "streaming_update",
+    "streaming_scores",
 ]

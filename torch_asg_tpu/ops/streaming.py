@@ -1,0 +1,143 @@
+"""Streaming / chunked ASG scoring for online inference.
+
+The lattice recursions are left-to-right, so both ASG scores can be
+computed incrementally: feed emission chunks as they arrive, carry a
+tiny state between chunks, and read out the score at any prefix length.
+The reference processes whole utterances only (its recursions take the
+full (T, B, N) tensor); this module is the online counterpart for
+streaming recognizers.
+
+State per batch element:
+  * FCC: the current log-domain alpha row (B, N) — the log-partition
+    over all paths so far;
+  * FAC: the current aligned-lattice alpha row (B, S) for a fixed
+    target;
+  * frames_seen (B,) so ragged chunk boundaries compose.
+
+Scores read out from a state match the one-shot ``fcc_score`` /
+``fac_score`` on the concatenated chunks exactly (same masked-scan math,
+pinned by tests/test_streaming.py), so
+``full - aligned`` gives a streaming ASG loss for prefix scoring /
+early-exit applications.
+
+Everything is a pytree of arrays: init/update/readout all jit, and
+chunks of any static length compose (recompile happens per distinct
+chunk length, as usual under jit).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+from jax import lax
+
+from .fac import AlignedLattice, make_aligned, _shift_right_s
+from .fcc import _exp_mats, _lse_mm
+from .semiring import NEG_INF, logsumexp
+
+
+class StreamingState(NamedTuple):
+    """Carry between chunks; a pytree (jit/vmap/pjit friendly)."""
+
+    alpha_full: jnp.ndarray  # (B, N) log-domain FCC alpha
+    alpha_aligned: jnp.ndarray  # (B, S) log-domain FAC alpha
+    frames_seen: jnp.ndarray  # (B,) int32
+
+
+def streaming_init(
+    num_batches: int,
+    num_labels: int,
+    s_total: int,
+    dtype=jnp.float32,
+) -> StreamingState:
+    """Fresh state: no frames consumed yet."""
+    return StreamingState(
+        alpha_full=jnp.full((num_batches, num_labels), NEG_INF, dtype),
+        alpha_aligned=jnp.full((num_batches, s_total), NEG_INF, dtype),
+        frames_seen=jnp.zeros((num_batches,), jnp.int32),
+    )
+
+
+def streaming_update(
+    transition: jnp.ndarray,
+    state: StreamingState,
+    chunk: jnp.ndarray,
+    targets: jnp.ndarray,
+    chunk_lengths: Optional[jnp.ndarray] = None,
+    target_lengths: Optional[jnp.ndarray] = None,
+) -> StreamingState:
+    """Consume a (T_c, B, N) emission chunk.
+
+    chunk_lengths (B,) masks ragged chunk tails (frames with
+    t >= chunk_lengths[b] are ignored); batch elements may therefore
+    advance at different rates across calls.  targets/target_lengths
+    must be identical across calls (the aligned lattice is fixed).
+    """
+    t_c, num_batches, num_labels = chunk.shape
+    if chunk_lengths is None:
+        chunk_lengths = jnp.full((num_batches,), t_c, jnp.int32)
+    s_total = targets.shape[1]
+    if target_lengths is None:
+        target_lengths = jnp.full((num_batches,), s_total, jnp.int32)
+
+    lat = make_aligned(
+        transition, chunk, targets, chunk_lengths, target_lengths
+    )
+    e, c = _exp_mats(transition, chunk.dtype)
+    e_t = e.T
+
+    def step(carry, xs):
+        af, aa, seen = carry
+        t, i_t, ai_t = xs
+        valid = (t < chunk_lengths)[:, None]
+        first = (seen == 0)[:, None] & valid
+
+        # FCC: alpha_t = I_t + lse_j(T + alpha_{t-1}); first frame = I_t
+        af_new = i_t + _lse_mm(af, e_t, c)
+        af_new = jnp.where(first, i_t, af_new)
+        af = jnp.where(valid, af_new, af)
+
+        # FAC: 2-way band step; first frame seeds at s = 0 only
+        hori = aa + lat.self_trans
+        diag = _shift_right_s(aa + lat.next_trans)
+        aa_new = ai_t + jnp.logaddexp(hori, diag)
+        seed = jnp.where(
+            jnp.arange(s_total)[None, :] == 0, ai_t, NEG_INF
+        )
+        aa_new = jnp.where(first, seed, aa_new)
+        aa = jnp.where(valid, aa_new, aa)
+
+        seen = seen + valid[:, 0].astype(jnp.int32)
+        return (af, aa, seen), None
+
+    ts = jnp.arange(t_c)
+    (af, aa, seen), _ = lax.scan(
+        step,
+        (state.alpha_full, state.alpha_aligned, state.frames_seen),
+        (ts, chunk, lat.inputs),
+    )
+    return StreamingState(af, aa, seen)
+
+
+def streaming_scores(
+    state: StreamingState,
+    target_lengths: Optional[jnp.ndarray] = None,
+) -> tuple:
+    """(full, aligned) scores of everything consumed so far, shape (B,).
+
+    ``full`` matches ``fcc_score`` at input_lengths == frames_seen;
+    ``aligned`` matches ``fac_score`` (it reads the alpha entry at
+    s = L_out - 1; -inf while the prefix cannot yet cover the target).
+    """
+    full = logsumexp(state.alpha_full, axis=1)
+    if target_lengths is None:
+        aligned = state.alpha_aligned[:, -1]
+    else:
+        s_total = state.alpha_aligned.shape[1]
+        onehot = (
+            jnp.arange(s_total)[None, :] == (target_lengths - 1)[:, None]
+        )
+        picked = jnp.where(onehot, state.alpha_aligned, NEG_INF)
+        aligned = jnp.max(picked, axis=1)
+    return full, aligned
