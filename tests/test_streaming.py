@@ -19,7 +19,11 @@ from torch_asg_tpu.ops.streaming import (
     streaming_init,
     streaming_scores,
     streaming_update,
+    streaming_viterbi_backtrace,
+    streaming_viterbi_init,
+    streaming_viterbi_update,
 )
+from torch_asg_tpu.ops.viterbi import viterbi_decode
 
 B, N, S = 3, 6, 4
 
@@ -131,6 +135,91 @@ def test_streaming_aligned_inf_until_coverable(rng):
     assert np.isneginf(np.asarray(aligned)[1])
     assert np.isfinite(np.asarray(aligned)[2])
     assert np.all(np.isfinite(np.asarray(full)))
+
+
+@pytest.mark.parametrize("splits", [[12], [4, 4, 4], [1] * 12, [5, 7]])
+def test_streaming_viterbi_matches_oneshot(rng, splits):
+    t_total = 12
+    transition, inputs, _, _ = _problem(rng, t_total)
+    input_lengths = jnp.full((B,), t_total, jnp.int32)
+
+    st = streaming_viterbi_init(B, N, dtype=jnp.float64)
+    bps, vals = [], []
+    off = 0
+    for t_c in splits:
+        st, (bp, v) = streaming_viterbi_update(
+            transition, st, inputs[off : off + t_c]
+        )
+        bps.append(bp)
+        vals.append(v)
+        off += t_c
+    got = streaming_viterbi_backtrace(
+        st, jnp.concatenate(bps), jnp.concatenate(vals)
+    )
+    want = viterbi_decode(transition, inputs, input_lengths)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-12)
+    np.testing.assert_array_equal(got.paths, want.paths)
+
+
+def test_streaming_viterbi_ragged(rng):
+    """Elements advancing at different rates decode their own prefixes."""
+    t_total = 9
+    transition, inputs, _, _ = _problem(rng, t_total)
+    final_lengths = np.asarray([9, 6, 3])
+
+    st = streaming_viterbi_init(B, N, dtype=jnp.float64)
+    bps, vals = [], []
+    consumed = np.zeros(B, np.int64)
+    for t_c in [4, 3, 2]:
+        chunk_lengths = np.minimum(final_lengths - consumed, t_c).clip(0)
+        chunk = np.zeros((t_c, B, N))
+        for b in range(B):
+            for t in range(int(chunk_lengths[b])):
+                chunk[t, b] = np.asarray(inputs[consumed[b] + t, b])
+        st, (bp, v) = streaming_viterbi_update(
+            transition, st, jnp.asarray(chunk, jnp.float64),
+            chunk_lengths=jnp.asarray(chunk_lengths, jnp.int32),
+        )
+        bps.append(bp)
+        vals.append(v)
+        consumed += chunk_lengths
+    got = streaming_viterbi_backtrace(
+        st, jnp.concatenate(bps), jnp.concatenate(vals)
+    )
+    want = viterbi_decode(
+        transition, inputs, jnp.asarray(final_lengths, jnp.int32)
+    )
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-12)
+    # each element's emitted labels (in stream order, skipping -1 frames)
+    # equal the one-shot path over its own prefix
+    got_paths = np.asarray(got.paths)
+    want_paths = np.asarray(want.paths)
+    for b in range(B):
+        mine = got_paths[:, b][got_paths[:, b] >= 0]
+        ref = want_paths[:, b][want_paths[:, b] >= 0]
+        np.testing.assert_array_equal(mine, ref)
+
+
+def test_streaming_viterbi_partial_and_empty(rng):
+    """Backtrace mid-stream gives the prefix decode; an element with no
+    frames yet scores -inf with an all -1 path."""
+    t_total = 8
+    transition, inputs, _, _ = _problem(rng, t_total)
+    st = streaming_viterbi_init(B, N, dtype=jnp.float64)
+    # element 2 consumes nothing
+    chunk_lengths = jnp.asarray([5, 3, 0], jnp.int32)
+    st, (bp, v) = streaming_viterbi_update(
+        transition, st, inputs[:5], chunk_lengths=chunk_lengths
+    )
+    got = streaming_viterbi_backtrace(st, bp, v)
+    want = viterbi_decode(transition, inputs[:5], chunk_lengths)
+    gp, wp = np.asarray(got.paths), np.asarray(want.paths)
+    for b in range(2):
+        np.testing.assert_allclose(got.scores[b], want.scores[b], rtol=1e-12)
+        np.testing.assert_array_equal(gp[:, b][gp[:, b] >= 0],
+                                      wp[:, b][wp[:, b] >= 0])
+    assert np.isneginf(np.asarray(got.scores)[2])
+    assert np.all(gp[:, 2] == -1)
 
 
 def test_streaming_update_jits(rng):

@@ -10,8 +10,10 @@ from .ops.fac import fac_score
 from .ops.fcc import fcc_score
 from .ops.posteriors import fac_posteriors, fcc_posteriors
 from .ops.viterbi import viterbi_align, viterbi_decode
-from .ops.streaming import (StreamingState, streaming_init,
-                            streaming_scores, streaming_update)
+from .ops.streaming import (StreamingState, StreamingViterbiState,
+                            streaming_init, streaming_scores,
+                            streaming_update, streaming_viterbi_backtrace,
+                            streaming_viterbi_init, streaming_viterbi_update)
 from .ops.wfsa import (WFSA, chain_wfsa, full_wfsa, wfsa_posteriors,
                        wfsa_score, wfsa_viterbi)
 
@@ -37,4 +39,8 @@ __all__ = [
     "streaming_init",
     "streaming_update",
     "streaming_scores",
+    "StreamingViterbiState",
+    "streaming_viterbi_init",
+    "streaming_viterbi_update",
+    "streaming_viterbi_backtrace",
 ]

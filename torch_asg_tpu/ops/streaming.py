@@ -35,6 +35,7 @@ from jax import lax
 from .fac import AlignedLattice, make_aligned, _shift_right_s
 from .fcc import _exp_mats, _lse_mm
 from .semiring import NEG_INF, logsumexp
+from .viterbi import ViterbiResult, _maxplus_argmax
 
 
 class StreamingState(NamedTuple):
@@ -141,3 +142,104 @@ def streaming_scores(
         picked = jnp.where(onehot, state.alpha_aligned, NEG_INF)
         aligned = jnp.max(picked, axis=1)
     return full, aligned
+
+
+# ---------------------------------------------------------------------------
+# Streaming Viterbi decoding (tropical semiring)
+# ---------------------------------------------------------------------------
+#
+# Same left-to-right structure as the scores above, max instead of
+# logsumexp.  The carried state is just the (B, N) best-path row; each
+# update also emits the chunk's backpointers + per-frame validity, which
+# the caller accumulates (same O(T B N) int32 footprint as the one-shot
+# decoder's scan output) and hands to ``streaming_viterbi_backtrace`` for
+# the exact best path over everything consumed so far.  Partial decodes
+# are cheap: backtrace is O(T B) gathers, so calling it every chunk gives
+# online (non-committed) hypotheses; the final call equals the one-shot
+# ``viterbi_decode`` on the concatenated prefix (pinned by
+# tests/test_streaming.py, identical tie-breaking via the shared
+# ``_maxplus_argmax`` step).
+
+
+class StreamingViterbiState(NamedTuple):
+    """Carry between chunks; a pytree (jit/vmap/pjit friendly)."""
+
+    delta: jnp.ndarray  # (B, N) best-path score ending at each label
+    frames_seen: jnp.ndarray  # (B,) int32
+
+
+def streaming_viterbi_init(
+    num_batches: int, num_labels: int, dtype=jnp.float32
+) -> StreamingViterbiState:
+    return StreamingViterbiState(
+        delta=jnp.full((num_batches, num_labels), NEG_INF, dtype),
+        frames_seen=jnp.zeros((num_batches,), jnp.int32),
+    )
+
+
+def streaming_viterbi_update(
+    transition: jnp.ndarray,
+    state: StreamingViterbiState,
+    chunk: jnp.ndarray,
+    chunk_lengths: Optional[jnp.ndarray] = None,
+) -> tuple:
+    """Consume a (T_c, B, N) emission chunk.
+
+    Returns ``(state, (backptr, valid))`` with backptr (T_c, B, N) int32
+    and valid (T_c, B) bool.  Backptr frame t maps the label AT that
+    frame to the label at the element's previous consumed frame; identity
+    at first/invalid frames, so concatenated blocks compose under
+    ``streaming_viterbi_backtrace`` even when batch elements advance at
+    different rates (ragged ``chunk_lengths``).
+    """
+    t_c, num_batches, num_labels = chunk.shape
+    if chunk_lengths is None:
+        chunk_lengths = jnp.full((num_batches,), t_c, jnp.int32)
+    ident = jnp.broadcast_to(
+        jnp.arange(num_labels, dtype=jnp.int32)[None, :],
+        (num_batches, num_labels),
+    )
+
+    def step(carry, xs):
+        d, seen = carry
+        t, i_t = xs
+        valid = (t < chunk_lengths)[:, None]
+        first = (seen == 0)[:, None] & valid
+        best, bp = _maxplus_argmax(transition, d)
+        d_new = jnp.where(first, i_t, i_t + best)
+        d = jnp.where(valid, d_new, d)
+        bp = jnp.where(valid & ~first, bp, ident)
+        seen = seen + valid[:, 0].astype(jnp.int32)
+        return (d, seen), (bp, valid[:, 0])
+
+    ts = jnp.arange(t_c)
+    (d, seen), (backptr, valid) = lax.scan(
+        step, (state.delta, state.frames_seen), (ts, chunk)
+    )
+    return StreamingViterbiState(d, seen), (backptr, valid)
+
+
+def streaming_viterbi_backtrace(
+    state: StreamingViterbiState,
+    backptr: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> ViterbiResult:
+    """Best path over all frames consumed so far.
+
+    backptr (T, B, N) / valid (T, B): the per-chunk outputs of
+    ``streaming_viterbi_update`` concatenated along the time axis.
+    Emits -1 at frames an element did not consume; elements with no
+    frames yet score -inf with an all -1 path.
+    """
+    scores = jnp.max(state.delta, axis=1)
+    lab0 = jnp.argmax(state.delta, axis=1).astype(jnp.int32)
+
+    def bstep(lab, xs):
+        bp_t, v_t = xs
+        emit = jnp.where(v_t, lab, -1)
+        prev = jnp.take_along_axis(bp_t, jnp.clip(lab, 0)[:, None], axis=1)[:, 0]
+        lab = jnp.where(v_t, prev, lab)
+        return lab, emit
+
+    _, emits = lax.scan(bstep, lab0, (backptr[::-1], valid[::-1]))
+    return ViterbiResult(scores, emits[::-1])

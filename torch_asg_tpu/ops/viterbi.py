@@ -56,6 +56,37 @@ class ViterbiResult(NamedTuple):
     paths: jnp.ndarray  # (T, B) int32 labels, -1 at padding frames
 
 
+def _maxplus_argmax(transition, d_prev):
+    """(best, argmax) over j of ``transition[i, j] + d_prev[b, j]``.
+
+    The (B, N, N) candidate tensor is materialized whole at letter scale;
+    past ``_CHUNK_MIN_LABELS`` destination rows are processed in chunks so
+    only (B, chunk, N) is live (max-plus has no matmul form, so the work
+    is unavoidable — the memory is not).  Shared by the one-shot decoder
+    and the streaming decoder so tie-breaking is identical.
+    """
+    num_labels = transition.shape[0]
+    num_batches = d_prev.shape[0]
+    if num_labels <= _CHUNK_MIN_LABELS:
+        cand = transition[None, :, :] + d_prev[:, None, :]  # (B, to, from)
+        return jnp.max(cand, axis=2), jnp.argmax(cand, axis=2).astype(jnp.int32)
+
+    ck = _CHUNK_SIZE
+    n_pad = -(-num_labels // ck) * ck
+    trans_p = jnp.pad(
+        transition, ((0, n_pad - num_labels), (0, 0)), constant_values=NEG_INF
+    ).reshape(n_pad // ck, ck, num_labels)
+
+    def chunk(rows):  # (ck, N) transition rows
+        cand = rows[None] + d_prev[:, None, :]  # (B, ck, N)
+        return jnp.max(cand, axis=2), jnp.argmax(cand, axis=2)
+
+    maxs, args = lax.map(chunk, trans_p)  # (nc, B, ck) each
+    best = jnp.transpose(maxs, (1, 0, 2)).reshape(num_batches, n_pad)
+    bp = jnp.transpose(args, (1, 0, 2)).reshape(num_batches, n_pad)
+    return best[:, :num_labels], bp[:, :num_labels].astype(jnp.int32)
+
+
 class AlignmentResult(NamedTuple):
     scores: jnp.ndarray  # (B,) best-alignment scores
     positions: jnp.ndarray  # (T, B) int32 target positions s_t, -1 at padding
@@ -81,44 +112,14 @@ def viterbi_decode(
     transition = transition.astype(inputs.dtype)
     inputs_m = mask_emissions(inputs, input_lengths)
 
-    if num_labels > _CHUNK_MIN_LABELS:
-        # Max-plus has no matmul form, so the (B, N, N) step tensor is
-        # unavoidable work — but not unavoidable MEMORY: chunk the
-        # destination rows so only (B, chunk, N) is live (wordpiece-scale
-        # vocabularies would otherwise materialize gigabytes per step).
-        ck = _CHUNK_SIZE
-        n_pad = -(-num_labels // ck) * ck
-        trans_p = jnp.pad(
-            transition, ((0, n_pad - num_labels), (0, 0)),
-            constant_values=NEG_INF,
-        ).reshape(n_pad // ck, ck, num_labels)
-
-        def fstep(carry, xs):
-            d_prev, d_end = carry
-            t, i_t = xs
-
-            def chunk(rows):  # (ck, N) transition rows
-                cand = rows[None] + d_prev[:, None, :]  # (B, ck, N)
-                return jnp.max(cand, axis=2), jnp.argmax(cand, axis=2)
-
-            maxs, args = lax.map(chunk, trans_p)  # (nc, B, ck) each
-            best = jnp.transpose(maxs, (1, 0, 2)).reshape(num_batches, n_pad)
-            bp = jnp.transpose(args, (1, 0, 2)).reshape(num_batches, n_pad)
-            d = i_t + best[:, :num_labels]
-            d_end = jnp.where((input_lengths - 1 == t)[:, None], d, d_end)
-            return (d, d_end), bp[:, :num_labels].astype(jnp.int32)
-
-    else:
-
-        def fstep(carry, xs):
-            d_prev, d_end = carry
-            t, i_t = xs
-            cand = transition[None, :, :] + d_prev[:, None, :]  # (B, to, from)
-            d = i_t + jnp.max(cand, axis=2)
-            bp = jnp.argmax(cand, axis=2).astype(jnp.int32)
-            # online readout at each utterance's true end (no stored delta)
-            d_end = jnp.where((input_lengths - 1 == t)[:, None], d, d_end)
-            return (d, d_end), bp
+    def fstep(carry, xs):
+        d_prev, d_end = carry
+        t, i_t = xs
+        best, bp = _maxplus_argmax(transition, d_prev)
+        d = i_t + best
+        # online readout at each utterance's true end (no stored delta)
+        d_end = jnp.where((input_lengths - 1 == t)[:, None], d, d_end)
+        return (d, d_end), bp
 
     d0 = inputs_m[0]
     ts_f = jnp.arange(1, t_total, dtype=input_lengths.dtype)
