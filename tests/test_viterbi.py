@@ -13,7 +13,7 @@ import numpy as np
 import pytest
 import torch
 
-from torch_asg_tpu import viterbi_align, viterbi_decode
+from torch_asg_tpu import viterbi_align, viterbi_decode, viterbi_nbest
 
 from oracle import viterbi_oracle
 
@@ -152,6 +152,89 @@ def test_viterbi_align_ragged():
         jnp.asarray(li), jnp.asarray(lo),
     )
     assert np.all(np.asarray(res.scores) <= np.asarray(lse) + 1e-9)
+
+
+def _brute_force_nbest(transition, inputs, L, k):
+    """All length-L paths scored and sorted descending; top k."""
+    T, N = inputs.shape
+    scored = []
+    for path in itertools.product(range(N), repeat=L):
+        s = inputs[0, path[0]]
+        for t in range(1, L):
+            s += transition[path[t], path[t - 1]] + inputs[t, path[t]]
+        scored.append((s, list(path)))
+    scored.sort(key=lambda x: -x[0])
+    return scored[:k]
+
+
+@pytest.mark.parametrize("k", [1, 3, 5])
+def test_viterbi_nbest_brute_force(k):
+    r = np.random.default_rng(7)
+    T, N = 4, 3
+    inputs = r.normal(size=(T, 1, N))
+    trans = r.normal(size=(N, N))
+    res = viterbi_nbest(jnp.asarray(trans), jnp.asarray(inputs), k)
+    want = _brute_force_nbest(trans, inputs[:, 0], T, k)
+    got_scores = np.asarray(res.scores)[0]
+    got_paths = np.asarray(res.paths)[:, 0, :]
+    for rank, (ws, wp) in enumerate(want):
+        np.testing.assert_allclose(got_scores[rank], ws, rtol=1e-12)
+        assert got_paths[:, rank].tolist() == wp
+
+
+def test_viterbi_nbest_rank0_is_decode(rng):
+    T, B, N = 9, 3, 5
+    inputs = jnp.asarray(rng.normal(size=(T, B, N)))
+    trans = jnp.asarray(rng.normal(size=(N, N)))
+    li = jnp.asarray([9, 6, 2], jnp.int32)
+    nb = viterbi_nbest(trans, inputs, 4, li)
+    one = viterbi_decode(trans, inputs, li)
+    np.testing.assert_allclose(nb.scores[:, 0], one.scores, rtol=1e-12)
+    np.testing.assert_array_equal(
+        np.asarray(nb.paths)[:, :, 0], np.asarray(one.paths)
+    )
+    # ranks strictly ordered, all k paths distinct per element
+    s = np.asarray(nb.scores)
+    assert np.all(np.diff(s, axis=1) <= 1e-12)
+    paths = np.asarray(nb.paths)
+    for b in range(B):
+        cols = [tuple(paths[:, b, r]) for r in range(4)]
+        assert len(set(cols)) == 4
+
+
+def test_viterbi_nbest_ragged_brute_force():
+    r = np.random.default_rng(11)
+    T, B, N, k = 5, 2, 3, 4
+    inputs = r.normal(size=(T, B, N))
+    trans = r.normal(size=(N, N))
+    lens = [5, 3]
+    res = viterbi_nbest(
+        jnp.asarray(trans), jnp.asarray(inputs), k, jnp.asarray(lens)
+    )
+    for b in range(B):
+        want = _brute_force_nbest(trans, inputs[:, b], lens[b], k)
+        for rank, (ws, wp) in enumerate(want):
+            np.testing.assert_allclose(
+                np.asarray(res.scores)[b, rank], ws, rtol=1e-12
+            )
+            col = np.asarray(res.paths)[:, b, rank]
+            assert col[: lens[b]].tolist() == wp
+            assert (col[lens[b]:] == -1).all()
+
+
+def test_viterbi_nbest_chunked_matches(rng, monkeypatch):
+    from torch_asg_tpu.ops import viterbi as vit_mod
+
+    T, B, N, k = 8, 2, 9, 3
+    inputs = jnp.asarray(rng.normal(size=(T, B, N)))
+    trans = jnp.asarray(rng.normal(size=(N, N)) * 0.5)
+    li = jnp.asarray([8, 5], jnp.int32)
+    ref = viterbi_nbest(trans, inputs, k, li)
+    monkeypatch.setattr(vit_mod, "_CHUNK_MIN_LABELS", 4)
+    monkeypatch.setattr(vit_mod, "_CHUNK_SIZE", 4)
+    got = viterbi_nbest(trans, inputs, k, li)
+    np.testing.assert_allclose(got.scores, ref.scores)
+    np.testing.assert_array_equal(np.asarray(got.paths), np.asarray(ref.paths))
 
 
 def test_viterbi_decode_chunked_matches(rng, monkeypatch):

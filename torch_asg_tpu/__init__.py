@@ -9,7 +9,7 @@ from .asg import ASGLoss, asg_loss, asg_scores
 from .ops.fac import fac_score
 from .ops.fcc import fcc_score
 from .ops.posteriors import fac_posteriors, fcc_posteriors
-from .ops.viterbi import viterbi_align, viterbi_decode
+from .ops.viterbi import viterbi_align, viterbi_decode, viterbi_nbest
 from .ops.streaming import (StreamingState, StreamingViterbiState,
                             streaming_init, streaming_scores,
                             streaming_update, streaming_viterbi_backtrace,
@@ -29,6 +29,7 @@ __all__ = [
     "fac_posteriors",
     "viterbi_decode",
     "viterbi_align",
+    "viterbi_nbest",
     "WFSA",
     "chain_wfsa",
     "full_wfsa",

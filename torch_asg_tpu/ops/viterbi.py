@@ -150,6 +150,108 @@ def viterbi_decode(
     return ViterbiResult(scores, paths)
 
 
+class NBestResult(NamedTuple):
+    scores: jnp.ndarray  # (B, K) best-path scores, descending per batch
+    paths: jnp.ndarray  # (T, B, K) int32 labels, -1 at padding frames
+
+
+def _maxplus_topk(transition, d_prev, k):
+    """(vals, flat_idx) of the top-k over j,r of
+    ``transition[i, j] + d_prev[b, j, r]``; flat index = j*k + r.
+
+    Destination rows are chunked past ``_CHUNK_MIN_LABELS`` (chunk size
+    scaled down by k) so only (B, chunk, N*k) is live.
+    """
+    num_labels = transition.shape[0]
+    num_batches = d_prev.shape[0]
+    cand_of = lambda rows: (
+        rows[None, :, :, None] + d_prev[:, None, :, :]
+    ).reshape(num_batches, rows.shape[0], num_labels * k)
+    if num_labels <= _CHUNK_MIN_LABELS:
+        vals, idx = lax.top_k(cand_of(transition), k)  # (B, N, k)
+        return vals, idx.astype(jnp.int32)
+
+    ck = max(1, _CHUNK_SIZE // k)
+    n_pad = -(-num_labels // ck) * ck
+    trans_p = jnp.pad(
+        transition, ((0, n_pad - num_labels), (0, 0)), constant_values=NEG_INF
+    ).reshape(n_pad // ck, ck, num_labels)
+    vals, idx = lax.map(lambda rows: lax.top_k(cand_of(rows), k), trans_p)
+    vals = jnp.transpose(vals, (1, 0, 2, 3)).reshape(num_batches, n_pad, k)
+    idx = jnp.transpose(idx, (1, 0, 2, 3)).reshape(num_batches, n_pad, k)
+    return vals[:, :num_labels], idx[:, :num_labels].astype(jnp.int32)
+
+
+def viterbi_nbest(
+    transition: jnp.ndarray,
+    inputs: jnp.ndarray,
+    k: int,
+    input_lengths: Optional[jnp.ndarray] = None,
+) -> NBestResult:
+    """The k best label paths per batch element (for LM rescoring etc.).
+
+    Standard n-best Viterbi: the lattice state is (label, rank); each
+    (i, r) slot holds the score of the r-th best path ending in label i,
+    so the k slots per label are k DISTINCT paths by construction and the
+    final top-k over all (i, r) is exactly the k best paths overall.
+    ``k=1`` coincides with ``viterbi_decode`` (pinned by tests).  If
+    fewer than k paths exist (k > N at T=1), the tail ranks carry -inf
+    scores and arbitrary labels.  Work is O(T B N^2 k); memory is
+    chunked past ``_CHUNK_MIN_LABELS`` labels like the 1-best decoder.
+    """
+    t_total, num_batches, num_labels = inputs.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
+    if inputs.dtype in (jnp.bfloat16, jnp.float16):
+        inputs = inputs.astype(jnp.float32)
+    transition = transition.astype(inputs.dtype)
+    inputs_m = mask_emissions(inputs, input_lengths)
+
+    d0 = jnp.full((num_batches, num_labels, k), NEG_INF, inputs.dtype)
+    d0 = d0.at[:, :, 0].set(inputs_m[0])
+
+    def fstep(carry, xs):
+        d_prev, d_end = carry
+        t, i_t = xs
+        vals, idx = _maxplus_topk(transition, d_prev, k)
+        d = i_t[:, :, None] + vals
+        d_end = jnp.where((input_lengths - 1 == t)[:, None, None], d, d_end)
+        return (d, d_end), idx
+
+    ts_f = jnp.arange(1, t_total, dtype=input_lengths.dtype)
+    (_, d_end), backptr = lax.scan(fstep, (d0, d0), (ts_f, inputs_m[1:]))
+
+    flat_end = d_end.reshape(num_batches, num_labels * k)
+    scores, flat_fin = lax.top_k(flat_end, k)  # (B, k) each
+    flat_fin = flat_fin.astype(jnp.int32)
+
+    # Backtrace in flat (label*k + rank) coordinates, same end masking as
+    # the 1-best decoder; -1 marks padding frames.
+    pad = jnp.full((num_batches, k), -1, jnp.int32)
+    flat_last = jnp.where(
+        (input_lengths - 1 == t_total - 1)[:, None], flat_fin, pad
+    )
+
+    def bstep(flat_next, xs):
+        t, bp_t = xs  # (B, N, k): (label, rank) at t+1 -> flat at t
+        prev = jnp.take_along_axis(
+            bp_t.reshape(num_batches, num_labels * k),
+            jnp.clip(flat_next, 0), axis=1,
+        )
+        flat_t = jnp.where(
+            (input_lengths - 1 == t)[:, None],
+            flat_fin,
+            jnp.where((t < input_lengths - 1)[:, None], prev, pad),
+        )
+        return flat_t, flat_t
+
+    ts = jnp.arange(t_total - 2, -1, -1)
+    _, flats = lax.scan(bstep, flat_last, (ts, backptr[::-1]))
+    flat_all = jnp.concatenate([flats[::-1], flat_last[None]], axis=0)
+    paths = jnp.where(flat_all >= 0, flat_all // k, -1).astype(jnp.int32)
+    return NBestResult(scores, paths)
+
+
 def viterbi_align(
     transition: jnp.ndarray,
     inputs: jnp.ndarray,
