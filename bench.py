@@ -78,7 +78,9 @@ def best_of(fn, x0, feedback, fetch_s, iters=ITERS, repeats=REPEATS):
 
 
 def measured_bandwidth(fetch_s):
-    """Achieved HBM GB/s on a chained 64 MB elementwise pass (r+w)."""
+    """Achieved HBM GB/s on a chained 256 MB elementwise pass: each step
+    moves 3 x 256 MB (full read for the sum barrier + read-modify-write
+    for the add)."""
     from torch_asg_tpu.utils.profiling import time_fn_chained
 
     # 256 MB so the chained loop dwarfs the ~30 ms scalar-fetch cost

@@ -35,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from torch_asg_tpu import (
     streaming_init,
     streaming_scores,
+    streaming_targets,
     streaming_update,
     streaming_viterbi_backtrace,
     streaming_viterbi_init,
@@ -80,7 +81,10 @@ def main(argv=None):
     target_lengths = jnp.full((B,), 4, jnp.int32)
 
     # each stream delivers frames at its own rate (stream b lags b frames
-    # per chunk) — ragged chunk_lengths keep the states consistent
+    # per chunk) — ragged chunk_lengths keep the states consistent.
+    # streaming_targets precomputes the chunk-invariant target gathers
+    # once so every jitted update pays only the per-chunk emission gather.
+    pre = streaming_targets(transition, targets, N, target_lengths)
     score_st = streaming_init(B, N, int(targets.shape[1]))
     vit_st = streaming_viterbi_init(B, N)
     upd_scores = jax.jit(streaming_update)
@@ -102,8 +106,8 @@ def main(argv=None):
         chunk = jnp.asarray(chunk)
 
         score_st = upd_scores(
-            transition, score_st, chunk, targets,
-            chunk_lengths=chunk_lengths, target_lengths=target_lengths,
+            transition, score_st, chunk,
+            chunk_lengths=chunk_lengths, stream_targets=pre,
         )
         vit_st, (bp, v) = upd_vit(
             transition, vit_st, chunk, chunk_lengths=chunk_lengths

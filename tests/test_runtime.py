@@ -142,6 +142,38 @@ def test_prefetcher_propagates_exceptions():
     assert got == [0, 1, 2]
 
 
+def test_prefetcher_exception_with_full_queue_and_slow_consumer():
+    """The error must reach a slow consumer even when the bounded queue is
+    full at raise time (regression: the worker used to drop the exception
+    after a 1 s put timeout, leaving the consumer blocked forever)."""
+    import time
+
+    from torch_asg_tpu.runtime import BatchPrefetcher
+
+    def bad(x):
+        if x == 1:
+            raise RuntimeError("late boom")
+        return x
+
+    pf = BatchPrefetcher(range(5), bad, depth=1)
+    time.sleep(1.5)  # let the worker fill the depth-1 queue and hit the raise
+    assert next(pf) == 0
+    with pytest.raises(RuntimeError, match="late boom"):
+        next(pf)
+
+
+def test_prefetcher_repeated_stopiteration():
+    """Iterators must keep raising StopIteration after exhaustion
+    (regression: a second manual next() used to block forever)."""
+    from torch_asg_tpu.runtime import BatchPrefetcher
+
+    pf = BatchPrefetcher([1, 2], lambda x: x, depth=2)
+    assert list(pf) == [1, 2]
+    for _ in range(3):
+        with pytest.raises(StopIteration):
+            next(pf)
+
+
 def test_prefetcher_early_close_stops_worker():
     import threading
 

@@ -18,6 +18,7 @@ from torch_asg_tpu.ops.fcc import fcc_score
 from torch_asg_tpu.ops.streaming import (
     streaming_init,
     streaming_scores,
+    streaming_targets,
     streaming_update,
     streaming_viterbi_backtrace,
     streaming_viterbi_init,
@@ -119,6 +120,37 @@ def test_streaming_ragged_chunks(rng):
     np.testing.assert_allclose(full, want_full, rtol=1e-12)
     np.testing.assert_allclose(aligned, want_aligned, rtol=1e-12)
     np.testing.assert_array_equal(st.frames_seen, final_lengths)
+
+
+def test_streaming_precomputed_targets_match(rng):
+    """The stream_targets fast path (chunk-invariant gathers hoisted out
+    of the update) is bit-identical to the per-chunk make_aligned path."""
+    t_total = 12
+    transition, inputs, targets, target_lengths = _problem(rng, t_total)
+    pre = streaming_targets(
+        transition, targets, N, target_lengths, dtype=jnp.float64
+    )
+    st_a = streaming_init(B, N, S, dtype=jnp.float64)
+    st_b = streaming_init(B, N, S, dtype=jnp.float64)
+    for off in range(0, t_total, 4):
+        chunk = inputs[off : off + 4]
+        cl = jnp.asarray([4, 3, 2], jnp.int32)  # ragged tails too
+        st_a = streaming_update(
+            transition, st_a, chunk, targets,
+            chunk_lengths=cl, target_lengths=target_lengths,
+        )
+        st_b = streaming_update(
+            transition, st_b, chunk, chunk_lengths=cl, stream_targets=pre
+        )
+    np.testing.assert_array_equal(
+        np.asarray(st_a.alpha_full), np.asarray(st_b.alpha_full)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_a.alpha_aligned), np.asarray(st_b.alpha_aligned)
+    )
+    np.testing.assert_array_equal(st_a.frames_seen, st_b.frames_seen)
+    with pytest.raises(ValueError, match="targets"):
+        streaming_update(transition, st_a, inputs[:2])
 
 
 def test_streaming_aligned_inf_until_coverable(rng):

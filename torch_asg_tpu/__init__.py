@@ -11,8 +11,9 @@ from .ops.fcc import fcc_score
 from .ops.posteriors import fac_posteriors, fcc_posteriors
 from .ops.viterbi import viterbi_align, viterbi_decode, viterbi_nbest
 from .ops.streaming import (StreamingState, StreamingViterbiState,
-                            streaming_init, streaming_scores,
-                            streaming_update, streaming_viterbi_backtrace,
+                            StreamTargets, streaming_init, streaming_scores,
+                            streaming_targets, streaming_update,
+                            streaming_viterbi_backtrace,
                             streaming_viterbi_init, streaming_viterbi_update)
 from .ops.wfsa import (WFSA, chain_wfsa, full_wfsa, wfsa_posteriors,
                        wfsa_score, wfsa_viterbi)
@@ -40,6 +41,8 @@ __all__ = [
     "streaming_init",
     "streaming_update",
     "streaming_scores",
+    "StreamTargets",
+    "streaming_targets",
     "StreamingViterbiState",
     "streaming_viterbi_init",
     "streaming_viterbi_update",

@@ -61,6 +61,33 @@ class AlignedLattice(NamedTuple):
     onehot: jnp.ndarray = None  # (B, S, N) one-hot of targets (0 where s invalid)
 
 
+def gather_aligned_emissions(inputs, tgt, onehot, tmask, smask):
+    """(T, B, S) aligned emission gather ``I~[t,b,s] = I[t,b,tgt[b,s]]``,
+    -inf outside ``tmask & smask``.  ``onehot`` is the smask-masked
+    (B, S, N) indicator (the MXU path) or None for the true-gather path
+    (wordpiece-scale N).  Factored out of ``make_aligned`` so chunk-wise
+    callers (ops/streaming.py) can redo ONLY this per chunk while the
+    transition gathers stay precomputed."""
+    if onehot is None:
+        t_total = inputs.shape[0]
+        idx = jnp.broadcast_to(tgt[None], (t_total,) + tgt.shape)
+        aligned = jnp.take_along_axis(inputs, idx, axis=2)
+        valid = tmask[:, :, None] & smask[None, :, :]
+        return jnp.where(valid, aligned, NEG_INF).astype(inputs.dtype)
+    # -inf emissions (legal log-semiring values) would make 0 * -inf = NaN
+    # in the matmul; substitute a sentinel and threshold it back.  Exact:
+    # each masked one-hot row has exactly ONE nonzero, so the einsum
+    # result IS the gathered value — a sentinel survives undisturbed.
+    # (Real emissions are log-scores; nothing sane approaches -1e30.)
+    sentinel = jnp.asarray(-1e30, inputs.dtype)
+    safe_inputs = jnp.where(jnp.isfinite(inputs), inputs, sentinel)
+    aligned = jnp.einsum(
+        "tbi,bsi->tbs", safe_inputs, onehot, precision=jax.lax.Precision.HIGHEST
+    )
+    valid = tmask[:, :, None] & smask[None, :, :] & (aligned > 0.5 * sentinel)
+    return jnp.where(valid, aligned, NEG_INF)
+
+
 def make_aligned(
     transition: jnp.ndarray,
     inputs: jnp.ndarray,
@@ -90,10 +117,7 @@ def make_aligned(
     smask = label_mask(s_total, target_lengths)  # (B, S)
 
     if num_labels > _ONEHOT_MAX_LABELS:
-        idx = jnp.broadcast_to(tgt[None], (t_total, num_batches, s_total))
-        aligned = jnp.take_along_axis(inputs, idx, axis=2)
-        valid = tmask[:, :, None] & smask[None, :, :]
-        aligned = jnp.where(valid, aligned, NEG_INF)
+        aligned = gather_aligned_emissions(inputs, tgt, None, tmask, smask)
         self_trans = jnp.where(smask, transition[tgt, tgt], 0.0)
         next_pairs = transition[tgt[:, 1:], tgt[:, :-1]]
         smask_next = (
@@ -111,18 +135,7 @@ def make_aligned(
 
     onehot = jax.nn.one_hot(tgt, num_labels, dtype=inputs.dtype)  # (B, S, N)
     onehot = onehot * smask[:, :, None].astype(inputs.dtype)
-    # -inf emissions (legal log-semiring values) would make 0 * -inf = NaN
-    # in the matmul; substitute a sentinel and threshold it back.  Exact:
-    # each masked one-hot row has exactly ONE nonzero, so the einsum
-    # result IS the gathered value — a sentinel survives undisturbed.
-    # (Real emissions are log-scores; nothing sane approaches -1e30.)
-    sentinel = jnp.asarray(-1e30, inputs.dtype)
-    safe_inputs = jnp.where(jnp.isfinite(inputs), inputs, sentinel)
-    aligned = jnp.einsum(
-        "tbi,bsi->tbs", safe_inputs, onehot, precision=jax.lax.Precision.HIGHEST
-    )
-    valid = tmask[:, :, None] & smask[None, :, :] & (aligned > 0.5 * sentinel)
-    aligned = jnp.where(valid, aligned, NEG_INF)
+    aligned = gather_aligned_emissions(inputs, tgt, onehot, tmask, smask)
 
     # Transition gathers T[y_s, y_s] / T[y_{s+1}, y_s] as one-hot matmuls
     # too: advanced-indexing gathers serialize on TPU and cost more than

@@ -32,10 +32,11 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 from jax import lax
 
-from .fac import AlignedLattice, make_aligned, _shift_right_s
+from .fac import gather_aligned_emissions, make_aligned, _shift_right_s
 from .fcc import _exp_mats, _lse_mm
 from .semiring import NEG_INF, logsumexp
 from .viterbi import ViterbiResult, _maxplus_argmax
+from ..utils.lengths import label_mask, time_mask
 
 
 class StreamingState(NamedTuple):
@@ -60,31 +61,86 @@ def streaming_init(
     )
 
 
+class StreamTargets(NamedTuple):
+    """Chunk-invariant target-side gathers, precomputed once per stream.
+
+    ``streaming_update`` called with raw ``targets`` rebuilds these every
+    chunk (the one-hot + transition einsums of ``make_aligned``); for a
+    long-running online loop, build this once with ``streaming_targets``
+    and pass it instead — each update then pays only the per-chunk
+    emission gather.
+    """
+
+    tgt: jnp.ndarray  # (B, S) clipped targets
+    onehot: Optional[jnp.ndarray]  # (B, S, N) masked one-hot, or None
+    self_trans: jnp.ndarray  # (B, S)
+    next_trans: jnp.ndarray  # (B, S)
+    smask: jnp.ndarray  # (B, S) bool, s < target_lengths[b]
+
+
+def streaming_targets(
+    transition: jnp.ndarray,
+    targets: jnp.ndarray,
+    num_labels: int,
+    target_lengths: Optional[jnp.ndarray] = None,
+    dtype=jnp.float32,
+) -> StreamTargets:
+    """Precompute the fixed target-side lattice rows for a stream."""
+    num_batches, s_total = targets.shape
+    if target_lengths is None:
+        target_lengths = jnp.full((num_batches,), s_total, jnp.int32)
+    dummy = jnp.zeros((1, num_batches, num_labels), dtype)
+    lat = make_aligned(
+        transition, dummy, targets,
+        jnp.ones((num_batches,), jnp.int32), target_lengths,
+    )
+    return StreamTargets(
+        lat.targets, lat.onehot, lat.self_trans, lat.next_trans,
+        label_mask(s_total, target_lengths),
+    )
+
+
 def streaming_update(
     transition: jnp.ndarray,
     state: StreamingState,
     chunk: jnp.ndarray,
-    targets: jnp.ndarray,
+    targets: Optional[jnp.ndarray] = None,
     chunk_lengths: Optional[jnp.ndarray] = None,
     target_lengths: Optional[jnp.ndarray] = None,
+    stream_targets: Optional[StreamTargets] = None,
 ) -> StreamingState:
     """Consume a (T_c, B, N) emission chunk.
 
     chunk_lengths (B,) masks ragged chunk tails (frames with
     t >= chunk_lengths[b] are ignored); batch elements may therefore
     advance at different rates across calls.  targets/target_lengths
-    must be identical across calls (the aligned lattice is fixed).
+    must be identical across calls (the aligned lattice is fixed);
+    passing a precomputed ``stream_targets`` instead of ``targets``
+    skips rebuilding the chunk-invariant target gathers every call.
     """
     t_c, num_batches, num_labels = chunk.shape
     if chunk_lengths is None:
         chunk_lengths = jnp.full((num_batches,), t_c, jnp.int32)
-    s_total = targets.shape[1]
-    if target_lengths is None:
-        target_lengths = jnp.full((num_batches,), s_total, jnp.int32)
-
-    lat = make_aligned(
-        transition, chunk, targets, chunk_lengths, target_lengths
-    )
+    if stream_targets is not None:
+        s_total = stream_targets.tgt.shape[1]
+        tmask = time_mask(t_c, chunk_lengths)
+        aligned_inputs = gather_aligned_emissions(
+            chunk, stream_targets.tgt, stream_targets.onehot, tmask,
+            stream_targets.smask,
+        )
+        self_trans = stream_targets.self_trans
+        next_trans = stream_targets.next_trans
+    else:
+        if targets is None:
+            raise ValueError("pass either targets or stream_targets")
+        s_total = targets.shape[1]
+        if target_lengths is None:
+            target_lengths = jnp.full((num_batches,), s_total, jnp.int32)
+        lat = make_aligned(
+            transition, chunk, targets, chunk_lengths, target_lengths
+        )
+        aligned_inputs = lat.inputs
+        self_trans, next_trans = lat.self_trans, lat.next_trans
     e, c = _exp_mats(transition, chunk.dtype)
     e_t = e.T
 
@@ -100,8 +156,8 @@ def streaming_update(
         af = jnp.where(valid, af_new, af)
 
         # FAC: 2-way band step; first frame seeds at s = 0 only
-        hori = aa + lat.self_trans
-        diag = _shift_right_s(aa + lat.next_trans)
+        hori = aa + self_trans
+        diag = _shift_right_s(aa + next_trans)
         aa_new = ai_t + jnp.logaddexp(hori, diag)
         seed = jnp.where(
             jnp.arange(s_total)[None, :] == 0, ai_t, NEG_INF
@@ -116,7 +172,7 @@ def streaming_update(
     (af, aa, seen), _ = lax.scan(
         step,
         (state.alpha_full, state.alpha_aligned, state.frames_seen),
-        (ts, chunk, lat.inputs),
+        (ts, chunk, aligned_inputs),
     )
     return StreamingState(af, aa, seen)
 

@@ -52,46 +52,45 @@ class BatchPrefetcher:
             raise ValueError(f"depth must be >= 1, got {depth}")
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
+        self._exhausted = False
         self._prepare = prepare_fn
         self._worker = threading.Thread(
             target=self._run, args=(iter(items),), daemon=True
         )
         self._worker.start()
 
+    def _put_responsive(self, out):
+        # bounded put that stays responsive to close(); a plain put() on a
+        # full queue would deadlock against a consumer that stopped reading
+        while not self._stop.is_set():
+            try:
+                self._q.put(out, timeout=0.1)
+                break
+            except queue.Full:
+                continue
+
     def _run(self, it: Iterator):
         try:
             for item in it:
                 if self._stop.is_set():
                     break
-                out = (self._prepare(item), None)
-                # bounded put that stays responsive to close()
-                while not self._stop.is_set():
-                    try:
-                        self._q.put(out, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
+                self._put_responsive((self._prepare(item), None))
         except BaseException as exc:  # re-raised in the consumer
-            try:
-                self._q.put((None, exc), timeout=1.0)
-            except queue.Full:
-                pass
+            self._put_responsive((None, exc))
             return
-        while not self._stop.is_set():
-            try:
-                self._q.put(_DONE, timeout=0.1)
-                break
-            except queue.Full:
-                continue
+        self._put_responsive(_DONE)
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        if self._stop.is_set():
+        if self._stop.is_set() or self._exhausted:
             raise StopIteration
         got = self._q.get()
         if got is _DONE:
+            # keep raising on any further call (iterator protocol) —
+            # there is exactly one _DONE sentinel in the queue
+            self._exhausted = True
             raise StopIteration
         batch, exc = got
         if exc is not None:
