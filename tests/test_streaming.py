@@ -24,7 +24,13 @@ from torch_asg_tpu.ops.streaming import (
     streaming_viterbi_init,
     streaming_viterbi_update,
 )
+from torch_asg_tpu.ops.streaming import (
+    streaming_wfsa_init,
+    streaming_wfsa_scores,
+    streaming_wfsa_update,
+)
 from torch_asg_tpu.ops.viterbi import viterbi_decode
+from torch_asg_tpu.ops.wfsa import chain_wfsa, full_wfsa, wfsa_score
 
 B, N, S = 3, 6, 4
 
@@ -252,6 +258,80 @@ def test_streaming_viterbi_partial_and_empty(rng):
                                       wp[:, b][wp[:, b] >= 0])
     assert np.isneginf(np.asarray(got.scores)[2])
     assert np.all(gp[:, 2] == -1)
+
+
+@pytest.mark.parametrize("splits", [[10], [4, 3, 3], [1] * 10])
+def test_streaming_wfsa_matches_oneshot(rng, splits):
+    """Streaming the full (FCC-equivalent) automaton and a chain automaton
+    matches one-shot wfsa_score on the consumed prefix, ragged included."""
+    t_total = 10
+    transition = jnp.asarray(rng.normal(size=(N, N)), jnp.float64)
+    inputs = jnp.asarray(rng.normal(size=(t_total, B, N)), jnp.float64)
+    lengths = jnp.asarray([10, 7, 4], jnp.int32)
+
+    labels = jnp.asarray(rng.integers(0, N, size=(3,)), jnp.int32)
+    chain = chain_wfsa(
+        labels,
+        jnp.asarray(rng.normal(size=(3,)), jnp.float64),
+        jnp.asarray(rng.normal(size=(3,)), jnp.float64),
+    )
+    for fsa in (full_wfsa(transition), chain):
+        st = streaming_wfsa_init(fsa, B, dtype=jnp.float64)
+        off = 0
+        for t_c in splits:
+            cl = jnp.clip(lengths - off, 0, t_c).astype(jnp.int32)
+            st = streaming_wfsa_update(
+                fsa, st, inputs[off : off + t_c], chunk_lengths=cl
+            )
+            off += t_c
+        got = streaming_wfsa_scores(fsa, st)
+        want = wfsa_score(fsa, inputs, lengths)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
+        np.testing.assert_array_equal(st.frames_seen, lengths)
+
+
+def test_streaming_under_data_parallel_mesh(rng):
+    """The streaming state is (B, ...)-leading, so it shards over a data
+    mesh with shard_map like any batch: per-shard updates compose to the
+    same result as the single-chip stream (online multi-stream serving)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from torch_asg_tpu.parallel import make_mesh
+
+    t_total = 8
+    n_dev = len(jax.devices())
+    big_b = 2 * n_dev
+    transition = jnp.asarray(rng.normal(size=(N, N)), jnp.float64)
+    inputs = jnp.asarray(rng.normal(size=(t_total, big_b, N)), jnp.float64)
+    targets = jnp.asarray(rng.integers(0, N, size=(big_b, S)), jnp.int32)
+    target_lengths = jnp.full((big_b,), S, jnp.int32)
+
+    mesh = make_mesh()
+    upd = shard_map(
+        lambda tr, st, ch, tg, tl: streaming_update(
+            tr, st, ch, tg, target_lengths=tl
+        ),
+        mesh=mesh,
+        in_specs=(P(), P("data"), P(None, "data"), P("data"), P("data")),
+        out_specs=P("data"),
+        check_rep=False,
+    )
+    st = streaming_init(big_b, N, S, dtype=jnp.float64)
+    st_ref = st
+    for off in range(0, t_total, 4):
+        st = upd(transition, st, inputs[off : off + 4], targets, target_lengths)
+        st_ref = streaming_update(
+            transition, st_ref, inputs[off : off + 4], targets,
+            target_lengths=target_lengths,
+        )
+    np.testing.assert_allclose(
+        np.asarray(st.alpha_full), np.asarray(st_ref.alpha_full), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.alpha_aligned), np.asarray(st_ref.alpha_aligned),
+        rtol=1e-12,
+    )
 
 
 def test_streaming_update_jits(rng):

@@ -11,10 +11,13 @@ from .ops.fcc import fcc_score
 from .ops.posteriors import fac_posteriors, fcc_posteriors
 from .ops.viterbi import viterbi_align, viterbi_decode, viterbi_nbest
 from .ops.streaming import (StreamingState, StreamingViterbiState,
-                            StreamTargets, streaming_init, streaming_scores,
+                            StreamingWFSAState, StreamTargets,
+                            streaming_init, streaming_scores,
                             streaming_targets, streaming_update,
                             streaming_viterbi_backtrace,
-                            streaming_viterbi_init, streaming_viterbi_update)
+                            streaming_viterbi_init, streaming_viterbi_update,
+                            streaming_wfsa_init, streaming_wfsa_scores,
+                            streaming_wfsa_update)
 from .ops.wfsa import (WFSA, chain_wfsa, full_wfsa, wfsa_posteriors,
                        wfsa_score, wfsa_viterbi)
 
@@ -47,4 +50,8 @@ __all__ = [
     "streaming_viterbi_init",
     "streaming_viterbi_update",
     "streaming_viterbi_backtrace",
+    "StreamingWFSAState",
+    "streaming_wfsa_init",
+    "streaming_wfsa_update",
+    "streaming_wfsa_scores",
 ]

@@ -299,3 +299,76 @@ def streaming_viterbi_backtrace(
 
     _, emits = lax.scan(bstep, lab0, (backptr[::-1], valid[::-1]))
     return ViterbiResult(scores, emits[::-1])
+
+
+# ---------------------------------------------------------------------------
+# Streaming generic-WFSA scoring
+# ---------------------------------------------------------------------------
+#
+# The acceptor recursion (ops/wfsa.py) is also left-to-right — one arc per
+# frame — so it streams with a (B, num_states) alpha carry and NO
+# first-frame special case (the carry starts at the automaton's start
+# weights).  Prefix readouts are exact against the one-shot ``wfsa_score``
+# (pinned by tests/test_streaming.py); at zero consumed frames the
+# readout is the empty-path acceptance score lse(start + final).
+
+
+class StreamingWFSAState(NamedTuple):
+    """Carry between chunks; a pytree (jit/vmap/pjit friendly)."""
+
+    alpha: jnp.ndarray  # (B, num_states) log-domain forward weights
+    frames_seen: jnp.ndarray  # (B,) int32
+
+
+def streaming_wfsa_init(
+    fsa, num_batches: int, dtype=jnp.float32
+) -> StreamingWFSAState:
+    return StreamingWFSAState(
+        alpha=jnp.broadcast_to(
+            fsa.start.astype(dtype), (num_batches, fsa.num_states)
+        ),
+        frames_seen=jnp.zeros((num_batches,), jnp.int32),
+    )
+
+
+def streaming_wfsa_update(
+    fsa,
+    state: StreamingWFSAState,
+    chunk: jnp.ndarray,
+    chunk_lengths: Optional[jnp.ndarray] = None,
+) -> StreamingWFSAState:
+    """Consume a (T_c, B, N) emission chunk through the acceptor."""
+    from .wfsa import _arc_emissions, _segment_lse
+
+    t_c, num_batches, _ = chunk.shape
+    if chunk_lengths is None:
+        chunk_lengths = jnp.full((num_batches,), t_c, jnp.int32)
+    dt = chunk.dtype
+    w = fsa.weight.astype(dt)[None, :]
+
+    def step(carry, xs):
+        alpha, seen = carry
+        t, i_t = xs
+        arc = (
+            jnp.take(alpha, fsa.src, axis=1) + w
+            + _arc_emissions(i_t, fsa.ilabel)
+        )
+        alpha_new = _segment_lse(arc, fsa.dst, fsa.num_states)
+        valid = (t < chunk_lengths)[:, None]
+        alpha = jnp.where(valid, alpha_new, alpha)
+        seen = seen + valid[:, 0].astype(jnp.int32)
+        return (alpha, seen), None
+
+    ts = jnp.arange(t_c)
+    (alpha, seen), _ = lax.scan(
+        step, (state.alpha, state.frames_seen), (ts, chunk)
+    )
+    return StreamingWFSAState(alpha, seen)
+
+
+def streaming_wfsa_scores(fsa, state: StreamingWFSAState) -> jnp.ndarray:
+    """(B,) acceptance score of everything consumed so far; equals the
+    one-shot ``wfsa_score`` at input_lengths == frames_seen."""
+    return logsumexp(
+        state.alpha + fsa.final.astype(state.alpha.dtype)[None, :], axis=1
+    )
