@@ -31,6 +31,28 @@ def test_readme_shape_smoke(rng):
     assert np.isfinite(np.asarray(g_inputs)).all()
 
 
+@pytest.mark.parametrize("impl", ["scan", "pallas", "fused", "matmul"])
+def test_empty_target_gives_inf_not_nan(rng, impl):
+    """L_out = 0 means no alignable path: the element's loss is +inf and
+    no NaN leaks into the batch (same contract as the unalignable
+    L_out > L_in case; the reference never probes this edge)."""
+    T, B, N, S = 6, 3, 5, 4
+    inputs = jnp.asarray(rng.normal(size=(T, B, N)))
+    trans = jnp.asarray(rng.normal(size=(N, N)))
+    targets = jnp.asarray(rng.integers(0, N, size=(B, S)), jnp.int32)
+    li = jnp.asarray([6, 5, 4], jnp.int32)
+    lo = jnp.asarray([4, 0, 2], jnp.int32)
+    out = np.asarray(
+        asg_loss(trans, inputs, targets, li, lo, reduction="none", impl=impl)
+    )
+    assert np.isposinf(out[1])
+    assert np.isfinite(out[[0, 2]]).all()
+    ref = np.asarray(
+        asg_loss(trans, inputs, targets, li, lo, reduction="none", impl="scan")
+    )
+    np.testing.assert_allclose(out[[0, 2]], ref[[0, 2]], rtol=1e-6)
+
+
 def test_default_lengths(rng):
     inputs, targets, _, _ = _smoke_inputs(rng)
     a = asg_loss(jnp.zeros((7, 7)), inputs, targets, reduction="none")
