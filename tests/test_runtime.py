@@ -3,6 +3,7 @@ extended-alphabet semantics (the wav2letter repeat-symbol trick described
 in zh217/torch-asg ``doc/tech_report.tex`` section on collapsing repeats).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -194,6 +195,100 @@ def test_prefetcher_early_close_stops_worker():
     assert len(produced) < 50
     with pytest.raises(StopIteration):
         next(pf)
+
+
+def test_bucket_ladder_and_pick():
+    from torch_asg_tpu.runtime import bucket_ladder, pick_bucket
+
+    ladder = bucket_ladder(1000, num_buckets=6, min_value=50)
+    assert ladder[-1] == 1000 and ladder[0] == 50
+    assert ladder == sorted(set(ladder))
+    assert pick_bucket(50, ladder) == 50
+    assert pick_bucket(51, ladder) == ladder[1]
+    assert pick_bucket(1000, ladder) == 1000
+    with pytest.raises(ValueError, match="exceeds"):
+        pick_bucket(1001, ladder)
+
+
+def test_bucket_batcher_bounded_shapes_and_contents():
+    """Every emitted batch shape comes from the bucket grid; contents and
+    lengths of real rows are preserved exactly."""
+    from torch_asg_tpu.runtime import BucketBatcher
+
+    r = np.random.default_rng(3)
+    time_buckets, target_buckets = [8, 16, 32], [4, 8]
+    bb = BucketBatcher(
+        batch_size=3, time_buckets=time_buckets, target_buckets=target_buckets
+    )
+    utts = []
+    for _ in range(11):
+        t = int(r.integers(2, 33))
+        feats = np.asarray(r.normal(size=(t, 5)), np.float32)
+        labels = r.integers(0, 9, size=int(r.integers(1, 8)))
+        utts.append((feats, labels))
+
+    seen = {}
+    batches = list(bb.batches(iter(utts)))
+    for b in batches:
+        T_b, B_b, F = b["features"].shape
+        assert T_b in time_buckets and B_b == 3 and F == 5
+        assert b["targets"].shape[1] in target_buckets
+        for i in range(3):
+            if not b["pad_mask"][i]:
+                continue
+            L = int(b["feature_lengths"][i])
+            key = b["features"][:L, i].tobytes()
+            seen[key] = (
+                b["targets"][i, : int(b["target_lengths"][i])].tolist()
+            )
+    # every utterance came out exactly once with its own labels
+    assert len(seen) == len(utts)
+    for feats, labels in utts:
+        key = feats.tobytes()
+        assert seen[key] == list(labels)
+    # all real rows emitted; flush() leaves nothing behind
+    assert sum(int(b["pad_mask"].sum()) for b in batches) == len(utts)
+    assert bb.flush() == []
+
+
+def test_bucket_batcher_criterion_padding_invariance(rng):
+    """A bucket-padded batch scores identically to the tight batch (the
+    serving contract: padding costs compute, never correctness)."""
+    from torch_asg_tpu import asg_loss
+    from torch_asg_tpu.runtime import BucketBatcher
+
+    N = 6
+    bb = BucketBatcher(
+        batch_size=2, time_buckets=[32], target_buckets=[8]
+    )
+    utts = [
+        (np.asarray(rng.normal(size=(20, N)), np.float32),
+         np.asarray([1, 2, 3], np.int64)),
+        (np.asarray(rng.normal(size=(13, N)), np.float32),
+         np.asarray([4, 0], np.int64)),
+    ]
+    (batch,) = list(bb.batches(iter(utts)))
+    trans = jnp.asarray(rng.normal(size=(N, N)))
+    bucketed = asg_loss(
+        trans,
+        jnp.asarray(batch["features"], jnp.float64),
+        jnp.asarray(batch["targets"]),
+        jnp.asarray(batch["feature_lengths"]),
+        jnp.asarray(batch["target_lengths"]),
+        reduction="none",
+    )
+    for i, (feats, labels) in enumerate(utts):
+        tight = asg_loss(
+            trans,
+            jnp.asarray(feats[:, None, :], jnp.float64),
+            jnp.asarray(np.asarray(labels, np.int32)[None]),
+            jnp.asarray([feats.shape[0]], jnp.int32),
+            jnp.asarray([len(labels)], jnp.int32),
+            reduction="none",
+        )
+        np.testing.assert_allclose(
+            float(bucketed[i]), float(tight[0]), rtol=1e-12
+        )
 
 
 def test_device_prefetch_puts_on_device():
