@@ -166,3 +166,51 @@ def test_vp_accepts_bf16_and_wide_targets(rng):
     )
     np.testing.assert_allclose(np.asarray(loss, np.float32), ref, rtol=2e-2,
                                atol=1e-2)
+
+
+def test_vp_degenerate_element_does_not_nan_shared_grads(rng):
+    """One element with an all -inf frame (no valid path, score = -inf)
+    must not contaminate the SHARED transition gradient of the others
+    (regression: exp(gamma - score) was -inf - -inf = NaN, and NaN*0
+    poisoned dT for the whole batch even with that element's cotangent
+    zeroed).  Mirrors the single-chip masked_softmax semantics."""
+    mesh = make_mesh((4,), ("model",), devices=jax.devices("cpu")[:4])
+    T, B, S, N = 8, 3, 3, 8
+    inputs = np.asarray(rng.normal(size=(T, B, N)))
+    inputs[4, 1, :] = -np.inf  # element 1: unreachable frame
+    inputs = jnp.asarray(inputs)
+    trans = jnp.asarray(rng.normal(size=(N, N)) * 0.3)
+    targets = jnp.asarray(rng.integers(0, N, size=(B, S)), jnp.int32)
+    keep = jnp.asarray([1.0, 0.0, 1.0])  # mask the degenerate element out
+
+    def masked_loss(tr, x):
+        per = asg_loss_vp(mesh, tr, x, targets, reduction="none")
+        return jnp.sum(jnp.where(keep > 0, per, 0.0))
+
+    loss, (gt, gi) = jax.value_and_grad(masked_loss, argnums=(0, 1))(
+        trans, inputs
+    )
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(gt)).all()
+    gi = np.asarray(gi)
+    assert np.isfinite(gi[:, 0]).all() and np.isfinite(gi[:, 2]).all()
+    # parity with the single-chip scan path on the same masked objective
+    def masked_ref(tr, x):
+        per = asg_loss(tr, x, targets, reduction="none", impl="scan")
+        return jnp.sum(jnp.where(keep > 0, per, 0.0))
+
+    loss_r, (gt_r, gi_r) = jax.value_and_grad(masked_ref, argnums=(0, 1))(
+        trans, inputs
+    )
+    np.testing.assert_allclose(float(loss), float(loss_r), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_r), rtol=1e-8,
+                               atol=1e-10)
+
+
+def test_vp_unknown_reduction_raises(case):
+    mesh = make_mesh((4,), ("model",), devices=jax.devices("cpu")[:4])
+    with pytest.raises(ValueError, match="reduction"):
+        asg_loss_vp(
+            mesh, case["trans"], case["inputs"], case["targets"],
+            case["li"], case["lo"], reduction="avg",
+        )

@@ -243,7 +243,7 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    li_ref, lo_ref, gful_ref, gfac_ref, e_ref, e_t_ref, self_ref, next_ref,
+    li_ref, gful_ref, gfac_ref, e_ref, e_t_ref, self_ref, next_ref,
     ia_ref, aia_ref, pb_ref, qb_ref,
     gi_ref, gali_ref, gt_ref, gself_ref, gnext_ref,
     pa_c, qa_c, acc_t, acc_self, acc_diag,
@@ -438,9 +438,12 @@ def _run_fwd(li_col, lo_col, e, self_p, next_p, ip, ap, geom, store):
 
 
 def _run_bwd(
-    li_col, lo_col, gful_col, gfac_col, e, e_t, self_p, next_p, ip, ap, pb, qb,
+    li_col, gful_col, gfac_col, e, e_t, self_p, next_p, ip, ap, pb, qb,
     geom,
 ):
+    # NOTE: target_lengths never enter the backward — everything the FAC
+    # side needs is encoded in the stored qb residuals and the masked
+    # aligned emissions.
     num_labels, n_pad, s_pad = geom
     t_pad, b_pad, n_raw = ip.shape
     s_raw = ap.shape[2]
@@ -452,7 +455,6 @@ def _run_bwd(
         kern,
         grid=(nb,),
         in_specs=[
-            _const((b_pad, 1)),
             _const((b_pad, 1)),
             _const((b_pad, 1)),
             _const((b_pad, 1)),
@@ -487,7 +489,7 @@ def _run_bwd(
             pltpu.VMEM((b_pad, s_pad), dt),
         ],
         interpret=use_interpret(),
-    )(li_col, lo_col, gful_col, gfac_col, e, e_t, self_p, next_p, ip, ap, pb, qb)
+    )(li_col, gful_col, gfac_col, e, e_t, self_p, next_p, ip, ap, pb, qb)
 
 
 # ---------------------------------------------------------------------------
@@ -571,19 +573,19 @@ def _fused_fwd(transition, inputs, targets, input_lengths, target_lengths):
         li_col, lo_col, e, self_p, next_p, ip, ap, geom, store=True
     )
     scores = _fix_scores(sful, sfac, input_lengths, c, num_batches)
-    res = (lat, ip, ap, e, e_t, self_p, next_p, li_col, lo_col, pb, qb, dims)
+    res = (lat, ip, ap, e, e_t, self_p, next_p, li_col, pb, qb, dims)
     return scores, res
 
 
 def _fused_bwd(res, g):
     gful, gfac = g
-    lat, ip, ap, e, e_t, self_p, next_p, li_col, lo_col, pb, qb, dims = res
+    lat, ip, ap, e, e_t, self_p, next_p, li_col, pb, qb, dims = res
     t_total, num_batches, num_labels, s_total, b_pad, n_pad, s_pad = dims
     geom = (num_labels, n_pad, s_pad)
     gful_col = pad_axis(gful.astype(ip.dtype), b_pad, 0, 0.0)[:, None]
     gfac_col = pad_axis(gfac.astype(ip.dtype), b_pad, 0, 0.0)[:, None]
     gi, gali, gt, gself, gnext = _run_bwd(
-        li_col, lo_col, gful_col, gfac_col, e, e_t, self_p, next_p, ip, ap,
+        li_col, gful_col, gfac_col, e, e_t, self_p, next_p, ip, ap,
         pb, qb, geom,
     )
     grad_inputs = gi[:t_total, :num_batches, :num_labels]

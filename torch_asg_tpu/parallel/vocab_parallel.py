@@ -25,7 +25,7 @@ BASELINE.json config-5 capability.
 
 from __future__ import annotations
 
-from functools import partial
+import functools
 from typing import Optional
 
 import jax
@@ -39,11 +39,10 @@ from ..ops.fac import (
     _alpha_scan as _fac_alpha_scan,
     _beta_scan as _fac_beta_scan,
     _score as _fac_score_readout,
-    _shift_left_s,
-    _shift_right_s,
+    aligned_domain_grads,
 )
-from ..asg import _prep
-from ..ops.semiring import NEG_INF, chain_precision, logsumexp, masked_softmax
+from ..asg import _prep, _reduce
+from ..ops.semiring import NEG_INF, chain_precision, logsumexp
 from ..utils.lengths import label_mask, mask_emissions, time_mask
 
 # ---------------------------------------------------------------------------
@@ -141,8 +140,8 @@ def _beta_scan_vp(trans_rows, inputs_m, input_lengths, axis):
         t, i_next = xs
         x = i_next + b_shard  # (B, Np) local j
         # partial over local source labels j for ALL destinations i:
-        partial = _lse_rows(x, e_rows, c)  # (B, N)
-        b_full = _lse_over_chips(partial, axis)  # (B, N) replicated
+        part = _lse_rows(x, e_rows, c)  # (B, N)
+        b_full = _lse_over_chips(part, axis)  # (B, N) replicated
         raw = _local_slice(b_full, axis, n_local, dim=1)
         b_t = jnp.where((input_lengths - 1 == t)[:, None], jnp.zeros_like(raw), raw)
         return b_t, b_t
@@ -155,47 +154,97 @@ def _beta_scan_vp(trans_rows, inputs_m, input_lengths, axis):
 def _fcc_fwd_vp(trans_rows, inputs_m, input_lengths, axis):
     alpha = _alpha_scan_vp(trans_rows, inputs_m, axis)
     beta = _beta_scan_vp(trans_rows, inputs_m, input_lengths, axis)
-    partial = logsumexp(beta[0] + inputs_m[0], axis=1)  # local i
-    score = _lse_over_chips(partial, axis)  # (B,) replicated
+    part = logsumexp(beta[0] + inputs_m[0], axis=1)  # local i
+    score = _lse_over_chips(part, axis)  # (B,) replicated
     return score, alpha, beta
 
 
+# Time-chunk size for the backward's alpha gather+contract: bounds the
+# gathered working set to (chunk, B, N) — ~80 MB at the wordpiece target
+# shape — instead of un-sharding the whole (T-1, B, N) alpha at once.
+_DT_CHUNK_T = 32
+
+
 def _fcc_bwd_vp(trans_rows, inputs_m, alpha, beta, score, g, axis):
-    # posterior via the forward-backward identity: sum_i exp(gamma) = exp(score)
+    # posterior via the forward-backward identity: sum_i exp(gamma) =
+    # exp(score).  score = -inf (degenerate element: no valid path) means
+    # every gamma is -inf too; zeroing the offset keeps gamma - 0 = -inf
+    # -> exp = 0 instead of the -inf - -inf = NaN that would otherwise
+    # contaminate the shared dT for the whole batch.
     gamma = alpha + beta
-    grad_inputs = jnp.exp(gamma - score[None, :, None]) * g[None, :, None]
+    score_safe = jnp.where(jnp.isfinite(score), score, 0.0)
+    grad_inputs = (
+        jnp.exp(gamma - score_safe[None, :, None]) * g[None, :, None]
+    )
 
     # dT_rows[i,j] = e_rows[i,j] * sum_{t,b} U[t,b,i] V[t,b,j] with
     # V = exp(a_prev - m), U = gi * exp(I - a_cur + m + c).
     # FACTOR FORM (mirrors ops.fcc._fcc_mm_bwd): U (local rows) and V
-    # (full columns) are built vectorized over (T-1, B, *) and contracted
-    # in ONE (Np, TB) x (TB, N) matmul — and the per-step all_gather of
-    # alpha becomes a single tiled all_gather of the whole alpha tensor,
-    # one big ICI transfer instead of T-1 latency-bound small ones.
+    # (full columns) are built vectorized and contracted in big matmuls.
+    # The row max m needs no gather (pmax of local maxes); the alpha
+    # gather+contract runs in time chunks of _DT_CHUNK_T so per-chip
+    # memory stays bounded — still ~T/32 large ICI transfers instead of
+    # T-1 latency-bound per-step ones.
     e_rows, c = _exp_rows_mat(trans_rows, inputs_m.dtype)
+    n_local = trans_rows.shape[0]
+    num_labels = trans_rows.shape[1]
 
-    a_prev_full = lax.all_gather(alpha[:-1], axis, axis=2, tiled=True)  # (T-1, B, N)
-    m = jnp.max(a_prev_full, axis=2, keepdims=True)
+    m = lax.pmax(jnp.max(alpha[:-1], axis=2, keepdims=True), axis)  # (T-1, B, 1)
     m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-    v = jnp.exp(a_prev_full - m_safe)
     sub = jnp.where(jnp.isfinite(alpha[1:]), inputs_m[1:] - alpha[1:], NEG_INF)
     # Clamped like ops.fcc._fcc_mm_bwd: the exponent is bounded by the
     # transition row spread, not by 0, so a >60-nat spread would
     # overflow to inf and NaN the dT matmul without the clamp.
     u = grad_inputs[1:] * jnp.exp(jnp.minimum(sub + m_safe + c, 60.0))
-    tb = u.shape[0] * u.shape[1]
-    acc = jax.lax.dot_general(
-        u.reshape(tb, u.shape[2]), v.reshape(tb, v.shape[2]),
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=u.dtype,
-        precision=chain_precision(),
+
+    t1, num_batches = u.shape[0], u.shape[1]
+    kt = min(_DT_CHUNK_T, t1) if t1 else 1
+    pad = (-t1) % kt
+    nc = (t1 + pad) // kt
+    a_sh = jnp.pad(
+        alpha[:-1], ((0, pad), (0, 0), (0, 0)), constant_values=NEG_INF
+    ).reshape(nc, kt, num_batches, n_local)
+    u_ch = jnp.pad(u, ((0, pad), (0, 0), (0, 0))).reshape(
+        nc, kt, num_batches, n_local
     )
+    ms_ch = jnp.pad(m_safe, ((0, pad), (0, 0), (0, 0))).reshape(
+        nc, kt, num_batches, 1
+    )
+
+    def chunk(acc, xs):
+        a_c, u_c, ms = xs
+        a_full = lax.all_gather(a_c, axis, axis=2, tiled=True)  # (kt, B, N)
+        v = jnp.exp(a_full - ms)  # padded rows are exp(-inf) = 0
+        tb = kt * num_batches
+        acc = acc + jax.lax.dot_general(
+            u_c.reshape(tb, n_local), v.reshape(tb, num_labels),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=u_c.dtype,
+            precision=chain_precision(),
+        )
+        return acc, None
+
+    acc0 = jnp.zeros((n_local, num_labels), u.dtype)
+    acc, _ = lax.scan(chunk, acc0, (a_sh, u_ch, ms_ch))
     return (acc * e_rows).astype(trans_rows.dtype), grad_inputs
 
 
 # ---------------------------------------------------------------------------
 # FAC, vocabulary-sharded (lattice replicated; gathers/scatters sharded)
 # ---------------------------------------------------------------------------
+
+
+def _local_onehot(tgt, n_local, axis, dtype):
+    """(B, S, Np) one-hot of this chip's OWNED target slots (zero rows for
+    targets owned by other chips).  Shared by the forward emission gather
+    and the backward scatters so the ownership arithmetic cannot drift."""
+    p = lax.axis_index(axis)
+    local_tgt = tgt - p * n_local
+    in_shard = (local_tgt >= 0) & (local_tgt < n_local)  # (B, S)
+    onehot = jax.nn.one_hot(
+        jnp.clip(local_tgt, 0, n_local - 1), n_local, dtype=dtype
+    ) * in_shard[:, :, None].astype(dtype)
+    return onehot
 
 
 def _fac_gather_vp(trans_rows, inputs_shard, targets, input_lengths, target_lengths, axis):
@@ -205,15 +254,13 @@ def _fac_gather_vp(trans_rows, inputs_shard, targets, input_lengths, target_leng
     tgt = jnp.clip(targets, 0, num_labels - 1)
 
     # aligned emissions from the label-sharded inputs: local one-hot
-    # matmul (indexed gathers serialize on TPU) + psum
-    p = lax.axis_index(axis)
-    local_tgt = tgt - p * n_local
-    ok = (local_tgt >= 0) & (local_tgt < n_local)  # (B, S)
-    local_onehot = jax.nn.one_hot(
-        jnp.clip(local_tgt, 0, n_local - 1), n_local, dtype=inputs_shard.dtype
-    ) * ok[:, :, None].astype(inputs_shard.dtype)  # (B, S, Np)
-    finite = jnp.isfinite(inputs_shard)
-    safe_inputs = jnp.where(finite, inputs_shard, 0.0)
+    # matmul (indexed gathers serialize on TPU) + psum.  -inf emissions
+    # use the same sentinel trick as ops.fac.gather_aligned_emissions:
+    # the sentinel survives the psum unchanged because non-owner chips
+    # contribute exact zeros.
+    local_onehot = _local_onehot(tgt, n_local, axis, inputs_shard.dtype)
+    sentinel = jnp.asarray(-1e30, inputs_shard.dtype)
+    safe_inputs = jnp.where(jnp.isfinite(inputs_shard), inputs_shard, sentinel)
     aligned = lax.psum(
         jnp.einsum(
             "tbi,bsi->tbs", safe_inputs, local_onehot,
@@ -221,16 +268,9 @@ def _fac_gather_vp(trans_rows, inputs_shard, targets, input_lengths, target_leng
         ),
         axis,
     )
-    nonfin = lax.psum(
-        jnp.einsum(
-            "tbi,bsi->tbs", (~finite).astype(inputs_shard.dtype), local_onehot,
-            precision=jax.lax.Precision.HIGHEST,
-        ),
-        axis,
-    )
     tmask = time_mask(t_total, input_lengths)
     smask = label_mask(s_total, target_lengths)
-    valid = tmask[:, :, None] & smask[None] & (nonfin < 0.5)
+    valid = tmask[:, :, None] & smask[None] & (aligned > 0.5 * sentinel)
     aligned = jnp.where(valid, aligned, NEG_INF)
 
     self_trans = _gather_transition_entries(trans_rows, tgt, tgt, axis)
@@ -264,12 +304,9 @@ def _scatter_trans_rows(trans_rows_shape, targets, ok_rows, cols, vals, axis):
 # public entry points
 # ---------------------------------------------------------------------------
 
-# LRU-bounded: keys hold live Mesh objects, so an unbounded dict would
+# LRU-bounded: keys hold live Mesh objects, so an unbounded cache would
 # leak compiled closures in a long-lived process that cycles meshes.
-_VP_CACHE = {}
-_VP_CACHE_MAX = 8
-
-
+@functools.lru_cache(maxsize=8)
 def _get_asg_vp(mesh: Mesh, axis: str):
     """Build (and cache) the vocabulary-sharded ASG loss for (mesh, axis).
 
@@ -279,11 +316,6 @@ def _get_asg_vp(mesh: Mesh, axis: str):
     fully under our control (the transpose of a replicated shard_map
     output would otherwise split g across devices).
     """
-    key = (mesh, axis)
-    if key in _VP_CACHE:
-        _VP_CACHE[key] = _VP_CACHE.pop(key)  # refresh LRU order
-        return _VP_CACHE[key]
-
     spec_t = P(axis, None)  # transition rows
     spec_i = P(None, None, axis)  # (T, B, N) label-sharded
     rep = P()
@@ -297,8 +329,8 @@ def _get_asg_vp(mesh: Mesh, axis: str):
     def primal_local(trans_rows, inputs_shard, targets, li, lo):
         inputs_m = mask_emissions(inputs_shard, li)
         beta = _beta_scan_vp(trans_rows, inputs_m, li, axis)
-        partial = logsumexp(beta[0] + inputs_m[0], axis=1)
-        full = _lse_over_chips(partial, axis)
+        part = logsumexp(beta[0] + inputs_m[0], axis=1)
+        full = _lse_over_chips(part, axis)
         lat = _fac_gather_vp(trans_rows, inputs_shard, targets, li, lo, axis)
         beta_a = _fac_beta_scan(lat, li, lo)
         aligned = _fac_score_readout(beta_a[0], lat.inputs[0])
@@ -327,33 +359,23 @@ def _get_asg_vp(mesh: Mesh, axis: str):
         # denominator part (+g)
         gt_rows, gi = _fcc_bwd_vp(trans_rows, inputs_m, alpha, beta, full, g, axis)
 
-        # numerator part (-g), aligned domain (replicated math)
-        g_aligned = masked_softmax(alpha_a + beta_a, axis=2) * (-g)[None, :, None]
-        sub = jnp.where(jnp.isfinite(alpha_a), ali - alpha_a, NEG_INF)
-        hori = jnp.exp(alpha_a[:-1] + self_t[None] + sub[1:])
-        diag = jnp.exp(_shift_right_s(alpha_a[:-1] + next_t[None]) + sub[1:])
-        gi_tail = g_aligned[1:]
-        edge_self = jnp.concatenate(
-            [jnp.ones_like(hori[:, :, :1]), hori[:, :, 1:]], axis=2
+        # numerator part (-g): the replicated aligned-domain math is the
+        # single-chip formula, verbatim (ops.fac.aligned_domain_grads)
+        lat = AlignedLattice(ali, self_t, next_t, tgt)
+        g_aligned, g_self, g_next = aligned_domain_grads(
+            lat, alpha_a, beta_a, -g
         )
-        g_self = jnp.sum(gi_tail * edge_self, axis=0)
-        g_next = _shift_left_s(jnp.sum(gi_tail * diag, axis=0), fill=0.0)
 
         # numerator emission grads into the local label shard: transposed
         # one-hot matmul (a (T,B,S) scatter would serialize on TPU)
-        p = lax.axis_index(axis)
-        local_tgt = tgt - p * n_local
-        in_shard = (local_tgt >= 0) & (local_tgt < n_local)
-        local_onehot = jax.nn.one_hot(
-            jnp.clip(local_tgt, 0, n_local - 1), n_local, dtype=gi.dtype
-        ) * in_shard[:, :, None].astype(gi.dtype)
+        local_onehot = _local_onehot(tgt, n_local, axis, gi.dtype)
         gi = gi + jnp.einsum(
             "tbs,bsi->tbi", g_aligned, local_onehot,
             precision=jax.lax.Precision.HIGHEST,
         )
 
         # scatter numerator transition grads into the local row shard
-        ones = jnp.ones_like(in_shard)
+        ones = jnp.ones(tgt.shape, bool)
         gt_rows = gt_rows + _scatter_trans_rows(
             trans_rows.shape, tgt, ones, tgt, g_self, axis
         )
@@ -397,9 +419,6 @@ def _get_asg_vp(mesh: Mesh, axis: str):
         return gt, gi, None, None, None
 
     asg_vp.defvjp(fwd, bwd)
-    while len(_VP_CACHE) >= _VP_CACHE_MAX:
-        _VP_CACHE.pop(next(iter(_VP_CACHE)))  # evict least-recently-used
-    _VP_CACHE[key] = asg_vp
     return asg_vp
 
 
@@ -434,11 +453,7 @@ def asg_loss_vp(
         )
     fn = _get_asg_vp(mesh, axis)
     per_batch = fn(transition, inputs, targets, input_lengths, target_lengths)
-    if reduction == "sum":
-        return per_batch.sum()
-    if reduction == "mean":
-        return per_batch.mean()
-    return per_batch
+    return _reduce(per_batch, reduction)
 
 
 def fcc_score_vp(
@@ -468,8 +483,8 @@ def fcc_score_vp(
     def score_fn(trans_rows, inputs_shard, lengths):
         inputs_m = mask_emissions(inputs_shard, lengths)
         beta = _beta_scan_vp(trans_rows, inputs_m, lengths, axis)
-        partial = logsumexp(beta[0] + inputs_m[0], axis=1)
-        return _lse_over_chips(partial, axis)
+        part = logsumexp(beta[0] + inputs_m[0], axis=1)
+        return _lse_over_chips(part, axis)
 
     return jax.shard_map(
         score_fn,
