@@ -182,7 +182,9 @@ def test_edge_lengths_match_reference_binary(ref, shape_case):
     tgts = jnp.asarray(targets_np, jnp.int32)
     li = jnp.asarray(li_np, jnp.int32)
     lo = jnp.asarray(lo_np, jnp.int32)
-    for impl in ("scan", "fused"):
+    # all four impl tiers against the reference binary, including the
+    # wordpiece-scale matmul formulation (exact at any N; fp64 here)
+    for impl in ("scan", "fused", "pallas", "matmul"):
         loss = asg_loss(
             jnp.asarray(trans_np), jnp.asarray(inputs_np), tgts, li, lo,
             reduction="none", impl=impl,
