@@ -51,6 +51,7 @@ CHAIN_K = 8  # in-graph steps per dispatch
 WARMUP, ITERS = 2, 12  # dispatches (each = CHAIN_K steps)
 REPEATS = 3
 DOT_CHAIN_NS = 78.0  # measured bare dependent-dot latency (exp_r2_chain)
+WALK_NS = 270.0  # measured both-chain walk as built (docs/PERF_R2.md §2)
 
 BIG_N = 10_000  # BASELINE config 5: wordpiece-scale vocabulary
 BIG_T, BIG_B, BIG_S = 100, 8, 10
@@ -245,6 +246,12 @@ def main():
     t_chain_floor_ms = 2 * T * DOT_CHAIN_NS * 1e-6  # fwd + bwd serial walks
     floor_ms = max(t_bw_floor_ms, t_chain_floor_ms)
     roofline_frac = floor_ms / t_fused if t_fused > 0 else 0.0
+    # the floor of the chain AS BUILT (FCC exp-domain dot+rescale
+    # interleaved with the FAC 2-way logaddexp, measured 270 ns/step on
+    # this chip — docs/PERF_R2.md §2/§4): the gap between it and the bare
+    # dot chain is VPU work with no cheaper measured form (§4 NO-GOs)
+    t_walk_ms = 2 * T * WALK_NS * 1e-6
+    walk_frac = t_walk_ms / t_fused if t_fused > 0 else 0.0
 
     # ------------------------------------------------------------------
     # BASELINE config 5: 10k-label vocabulary, single chip (impl matmul)
@@ -301,6 +308,8 @@ def main():
                     "hbm" if t_bw_floor_ms > t_chain_floor_ms else "serial chain"
                 ),
                 "fraction_of_roofline": round(roofline_frac, 3),
+                "implemented_walk_floor_ms": round(t_walk_ms, 3),
+                "fraction_of_walk_floor": round(walk_frac, 3),
             },
             "vocab10k_matmul": {
                 "shape": f"T={BIG_T},B={BIG_B},N={BIG_N}",

@@ -165,3 +165,100 @@ def test_wfsa_grad_flows_to_weights(rng):
     n = trans.shape[0]
     arc_part = np.asarray(g[n:]).reshape(n, n)  # skip super-initial arcs
     np.testing.assert_allclose(arc_part, np.asarray(gt), rtol=1e-8, atol=1e-10)
+
+
+def test_lexicon_wfsa_union_matches_fac_logsumexp(rng):
+    """Single-word acceptance: the union-of-chains automaton's total score
+    is the logsumexp over words of that word's force-aligned score (each
+    accepting path lives in exactly one chain, and each chain IS the FAC
+    lattice of its word)."""
+    from torch_asg_tpu import lexicon_wfsa
+
+    T, N = 10, 6
+    inputs = jnp.asarray(rng.normal(size=(T, 1, N)))
+    trans = jnp.asarray(rng.normal(size=(N, N)) * 0.5)
+    # no adjacent repeats inside a word: the run-collapse check below
+    # would merge them (that collapse is exactly why ASG encodes repeats
+    # with dedicated symbols)
+    words = [np.asarray(w, np.int32) for w in ([1, 2, 3], [4, 0], [5, 4, 1, 2])]
+    weights = jnp.asarray(rng.normal(size=(len(words),)))
+
+    fsa = lexicon_wfsa(trans, words, weights)
+    got = wfsa_score(fsa, inputs)
+
+    per_word = []
+    for w, ww in zip(words, np.asarray(weights)):
+        s = fac_score(
+            trans, inputs, jnp.asarray(w[None]),
+            jnp.asarray([T], jnp.int32),
+            jnp.asarray([len(w)], jnp.int32),
+        )
+        per_word.append(float(s[0]) + float(ww))
+    ref = float(jax.scipy.special.logsumexp(jnp.asarray(per_word)))
+    np.testing.assert_allclose(float(got[0]), ref, rtol=1e-10)
+
+    # best word = the viterbi path's chain; its labels collapse to a word
+    vit = wfsa_viterbi(fsa, inputs)
+    labs = np.asarray(vit.labels[:, 0])
+    dedup = [l for i, l in enumerate(labs) if i == 0 or l != labs[i - 1]]
+    assert any(dedup == list(w) for w in words)
+
+
+def test_lexicon_wfsa_loop_brute_force(rng):
+    """Continuous recognition (loop=True) vs explicit path enumeration
+    over word sequences on a tiny lexicon."""
+    from torch_asg_tpu import lexicon_wfsa
+
+    T, N = 5, 4
+    inputs_np = rng.normal(size=(T, 1, N))
+    inputs = jnp.asarray(inputs_np)
+    trans_np = rng.normal(size=(N, N)) * 0.5
+    words = [np.asarray([0, 1], np.int32), np.asarray([2], np.int32)]
+    ww = np.asarray([0.3, -0.2])
+
+    fsa = lexicon_wfsa(jnp.asarray(trans_np), words, jnp.asarray(ww), loop=True)
+    got = float(wfsa_score(fsa, inputs)[0])
+
+    # enumerate label paths that parse as word sequences with per-state
+    # dwell times (every word state consumes >= 1 frame, in order)
+    def parses(path):
+        """All (word sequence, boundaries) consistent with the framewise
+        label path under the chain semantics."""
+        # dynamic check: walk the automaton states explicitly
+        # state = (word idx, position); start options from each word
+        results = 0.0
+        scores = []
+
+        def walk(t, wi, pos, acc):
+            y = words[wi][pos]
+            if path[t] != y:
+                return
+            a = acc + float(inputs_np[t, 0, y])
+            if t == T - 1:
+                if pos == len(words[wi]) - 1:
+                    scores.append(a)
+                return
+            # stay
+            walk(t + 1, wi, pos, a + float(trans_np[y, y]))
+            # advance within word
+            if pos + 1 < len(words[wi]):
+                nxt = words[wi][pos + 1]
+                walk(t + 1, wi, pos + 1, a + float(trans_np[nxt, y]))
+            # word boundary
+            if pos == len(words[wi]) - 1:
+                for wj in range(len(words)):
+                    nxt = words[wj][0]
+                    walk(
+                        t + 1, wj, 0,
+                        a + float(ww[wj]) + float(trans_np[nxt, y]),
+                    )
+
+        for wi in range(len(words)):
+            walk(0, wi, 0, float(ww[wi]))
+        return scores
+
+    all_scores = []
+    for path in itertools.product(range(N), repeat=T):
+        all_scores.extend(parses(path))
+    ref = float(jax.scipy.special.logsumexp(jnp.asarray(all_scores)))
+    np.testing.assert_allclose(got, ref, rtol=1e-9)

@@ -18,8 +18,8 @@ from .ops.streaming import (StreamingState, StreamingViterbiState,
                             streaming_viterbi_init, streaming_viterbi_update,
                             streaming_wfsa_init, streaming_wfsa_scores,
                             streaming_wfsa_update)
-from .ops.wfsa import (WFSA, chain_wfsa, full_wfsa, wfsa_posteriors,
-                       wfsa_score, wfsa_viterbi)
+from .ops.wfsa import (WFSA, chain_wfsa, full_wfsa, lexicon_wfsa,
+                       wfsa_posteriors, wfsa_score, wfsa_viterbi)
 
 __version__ = "0.1.0"
 
@@ -37,6 +37,7 @@ __all__ = [
     "WFSA",
     "chain_wfsa",
     "full_wfsa",
+    "lexicon_wfsa",
     "wfsa_score",
     "wfsa_viterbi",
     "wfsa_posteriors",

@@ -125,6 +125,82 @@ def full_wfsa(transition: jnp.ndarray) -> WFSA:
     return WFSA(src, dst, ilab, w, start, final)
 
 
+def lexicon_wfsa(
+    transition: jnp.ndarray,
+    words,
+    word_weights=None,
+    loop: bool = False,
+) -> WFSA:
+    """Union-of-chains acceptor over a pronunciation lexicon.
+
+    ``words`` is a list of 1-D int label sequences (ASG-encoded: repeat
+    symbols already expanded by ``runtime.encode_targets``).  Each word
+    becomes a linear chain — per-state self-loop ``T[y, y]``, advance
+    ``T[y_{k+1}, y_k]`` gathered from the (N, N) ASG transition — and a
+    shared super-initial state feeds every word's first state with
+    ``word_weights[w]`` (e.g. log unigram probabilities; frame 0 emits
+    with no transition score, the ASG lattice convention).  Accepting
+    states are the word ends.
+
+    ``loop=True`` additionally connects every word end to every word
+    start (weight ``word_weights[w'] + T[first(w'), last(w)]``) for
+    continuous multi-word recognition — score/decode/posterior the
+    result with ``wfsa_score`` / ``wfsa_viterbi`` / ``wfsa_posteriors``.
+
+    Graph construction is host-side numpy (static per compilation), like
+    exporting a composed WFST; only scoring runs on device.
+    """
+    import numpy as np
+
+    if not words:
+        raise ValueError("lexicon_wfsa needs at least one word")
+    words = [np.asarray(w, np.int32).reshape(-1) for w in words]
+    if any(w.size == 0 for w in words):
+        raise ValueError("empty word in lexicon")
+    trans_np = np.asarray(transition)
+    dt = trans_np.dtype
+    if word_weights is None:
+        word_weights = np.zeros((len(words),), dt)
+    word_weights = np.asarray(word_weights, dt)
+
+    offsets = np.cumsum([0] + [w.size for w in words])[:-1]
+    num_states = int(sum(w.size for w in words)) + 1
+    sigma = num_states - 1
+
+    src, dst, ilab, wt = [], [], [], []
+    for w, off, ww in zip(words, offsets, word_weights):
+        ks = np.arange(w.size, dtype=np.int32) + off
+        # entry from the super-initial state (no transition score)
+        src.append([sigma]); dst.append([ks[0]]); ilab.append([w[0]])
+        wt.append([ww])
+        # self loops
+        src.append(ks); dst.append(ks); ilab.append(w)
+        wt.append(trans_np[w, w])
+        # advances
+        src.append(ks[:-1]); dst.append(ks[1:]); ilab.append(w[1:])
+        wt.append(trans_np[w[1:], w[:-1]])
+    if loop:
+        lasts = [off + w.size - 1 for w, off in zip(words, offsets)]
+        for w_from, last in zip(words, lasts):
+            for w_to, off_to, ww in zip(words, offsets, word_weights):
+                src.append([last]); dst.append([off_to])
+                ilab.append([w_to[0]])
+                wt.append([ww + trans_np[w_to[0], w_from[-1]]])
+
+    start = np.full((num_states,), -np.inf, dt)
+    start[sigma] = 0.0
+    final = np.full((num_states,), -np.inf, dt)
+    for w, off in zip(words, offsets):
+        final[off + w.size - 1] = 0.0
+
+    cat = lambda parts, t: jnp.asarray(np.concatenate(
+        [np.asarray(p) for p in parts]).astype(t))
+    return WFSA(
+        cat(src, np.int32), cat(dst, np.int32), cat(ilab, np.int32),
+        cat(wt, dt), jnp.asarray(start), jnp.asarray(final),
+    )
+
+
 def _arc_emissions(i_t: jnp.ndarray, ilabel: jnp.ndarray) -> jnp.ndarray:
     """(B, E) emission score of each arc at one frame: I[t, :, ilabel]."""
     return jnp.take(i_t, ilabel, axis=1)
