@@ -203,6 +203,9 @@ def test_bucket_ladder_and_pick():
     ladder = bucket_ladder(1000, num_buckets=6, min_value=50)
     assert ladder[-1] == 1000 and ladder[0] == 50
     assert ladder == sorted(set(ladder))
+    assert len(ladder) <= 6  # never MORE shapes than asked for
+    # exactly one program shape when exactly one is requested
+    assert bucket_ladder(1000, num_buckets=1, min_value=50) == [1000]
     assert pick_bucket(50, ladder) == 50
     assert pick_bucket(51, ladder) == ladder[1]
     assert pick_bucket(1000, ladder) == 1000

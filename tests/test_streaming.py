@@ -159,6 +159,61 @@ def test_streaming_precomputed_targets_match(rng):
         streaming_update(transition, st_a, inputs[:2])
 
 
+def test_streaming_conflicting_target_args_raise(rng):
+    transition, inputs, targets, target_lengths = _problem(rng, 6)
+    pre = streaming_targets(transition, targets, N, target_lengths,
+                            dtype=jnp.float64)
+    st = streaming_init(B, N, S, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="not both"):
+        streaming_update(
+            transition, st, inputs[:3], targets, stream_targets=pre
+        )
+    with pytest.raises(ValueError, match="not both"):
+        streaming_update(
+            transition, st, inputs[:3],
+            target_lengths=target_lengths, stream_targets=pre,
+        )
+
+
+def test_streaming_bf16_chunks_upcast_to_oneshot_parity(rng):
+    """bf16 emission chunks are upcast at the boundary (like the one-shot
+    scorers/decoder): long streams must not accumulate in half precision,
+    and the scan carry dtype stays pinned by the state."""
+    t_total = 10
+    transition, inputs, targets, target_lengths = _problem(rng, t_total)
+    transition32 = transition.astype(jnp.float32)
+    bf = inputs.astype(jnp.bfloat16)
+
+    st = streaming_init(B, N, S, dtype=jnp.bfloat16)  # upcast inside init
+    assert st.alpha_full.dtype == jnp.float32
+    vst = streaming_viterbi_init(B, N, dtype=jnp.bfloat16)
+    assert vst.delta.dtype == jnp.float32
+    bps, vals = [], []
+    for off in range(0, t_total, 5):
+        st = streaming_update(
+            transition32, st, bf[off : off + 5], targets,
+            target_lengths=target_lengths,
+        )
+        vst, (bp, v) = streaming_viterbi_update(
+            transition32, vst, bf[off : off + 5]
+        )
+        bps.append(bp)
+        vals.append(v)
+    full, _ = streaming_scores(st, target_lengths)
+    f32 = bf.astype(jnp.float32)
+    want = fcc_score(transition32, f32, jnp.full((B,), t_total, jnp.int32))
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(want), rtol=1e-5
+    )
+    got = streaming_viterbi_backtrace(
+        vst, jnp.concatenate(bps), jnp.concatenate(vals)
+    )
+    want_v = viterbi_decode(transition32, f32)
+    np.testing.assert_array_equal(
+        np.asarray(got.paths), np.asarray(want_v.paths)
+    )
+
+
 def test_streaming_aligned_inf_until_coverable(rng):
     """The aligned score is -inf while the consumed prefix is shorter than
     the target (no monotone alignment exists yet)."""

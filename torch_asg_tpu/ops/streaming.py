@@ -47,6 +47,12 @@ class StreamingState(NamedTuple):
     frames_seen: jnp.ndarray  # (B,) int32
 
 
+def _accumulation_dtype(dtype):
+    """Scores accumulate over the whole stream — half precision would
+    drift; mirror the one-shot scorers' boundary upcast."""
+    return jnp.float32 if dtype in (jnp.bfloat16, jnp.float16) else dtype
+
+
 def streaming_init(
     num_batches: int,
     num_labels: int,
@@ -54,6 +60,7 @@ def streaming_init(
     dtype=jnp.float32,
 ) -> StreamingState:
     """Fresh state: no frames consumed yet."""
+    dtype = _accumulation_dtype(dtype)
     return StreamingState(
         alpha_full=jnp.full((num_batches, num_labels), NEG_INF, dtype),
         alpha_aligned=jnp.full((num_batches, s_total), NEG_INF, dtype),
@@ -76,6 +83,8 @@ class StreamTargets(NamedTuple):
     self_trans: jnp.ndarray  # (B, S)
     next_trans: jnp.ndarray  # (B, S)
     smask: jnp.ndarray  # (B, S) bool, s < target_lengths[b]
+    e_t: Optional[jnp.ndarray] = None  # (N, N) exp(T - c).T for the FCC step
+    c: Optional[jnp.ndarray] = None  # scalar offset of e_t
 
 
 def streaming_targets(
@@ -85,7 +94,8 @@ def streaming_targets(
     target_lengths: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
 ) -> StreamTargets:
-    """Precompute the fixed target-side lattice rows for a stream."""
+    """Precompute the fixed target-side lattice rows (and the FCC step's
+    exp-transition matrix) for a stream."""
     num_batches, s_total = targets.shape
     if target_lengths is None:
         target_lengths = jnp.full((num_batches,), s_total, jnp.int32)
@@ -94,9 +104,10 @@ def streaming_targets(
         transition, dummy, targets,
         jnp.ones((num_batches,), jnp.int32), target_lengths,
     )
+    e, c = _exp_mats(transition, dtype)
     return StreamTargets(
         lat.targets, lat.onehot, lat.self_trans, lat.next_trans,
-        label_mask(s_total, target_lengths),
+        label_mask(s_total, target_lengths), e.T, c,
     )
 
 
@@ -119,9 +130,21 @@ def streaming_update(
     skips rebuilding the chunk-invariant target gathers every call.
     """
     t_c, num_batches, num_labels = chunk.shape
+    if chunk.dtype in (jnp.bfloat16, jnp.float16):
+        # same boundary upcast as the one-shot scorers: scores accumulate
+        # over the whole stream, too long for half-precision mantissas
+        chunk = chunk.astype(jnp.float32)
+    chunk = chunk.astype(state.alpha_full.dtype)
+    transition = transition.astype(chunk.dtype)
     if chunk_lengths is None:
         chunk_lengths = jnp.full((num_batches,), t_c, jnp.int32)
     if stream_targets is not None:
+        if targets is not None or target_lengths is not None:
+            raise ValueError(
+                "pass either stream_targets OR targets/target_lengths, "
+                "not both (stream_targets already bakes them in; a "
+                "conflicting pair would be silently ignored)"
+            )
         s_total = stream_targets.tgt.shape[1]
         tmask = time_mask(t_c, chunk_lengths)
         aligned_inputs = gather_aligned_emissions(
@@ -141,8 +164,12 @@ def streaming_update(
         )
         aligned_inputs = lat.inputs
         self_trans, next_trans = lat.self_trans, lat.next_trans
-    e, c = _exp_mats(transition, chunk.dtype)
-    e_t = e.T
+    if stream_targets is not None and stream_targets.e_t is not None:
+        e_t = stream_targets.e_t.astype(chunk.dtype)
+        c = stream_targets.c.astype(chunk.dtype)
+    else:
+        e, c = _exp_mats(transition, chunk.dtype)
+        e_t = e.T
 
     def step(carry, xs):
         af, aa, seen = carry
@@ -227,6 +254,7 @@ class StreamingViterbiState(NamedTuple):
 def streaming_viterbi_init(
     num_batches: int, num_labels: int, dtype=jnp.float32
 ) -> StreamingViterbiState:
+    dtype = _accumulation_dtype(dtype)
     return StreamingViterbiState(
         delta=jnp.full((num_batches, num_labels), NEG_INF, dtype),
         frames_seen=jnp.zeros((num_batches,), jnp.int32),
@@ -249,6 +277,11 @@ def streaming_viterbi_update(
     different rates (ragged ``chunk_lengths``).
     """
     t_c, num_batches, num_labels = chunk.shape
+    # same dtype boundary as viterbi_decode: path scores accumulate over
+    # the whole stream (half precision drifts), and the carry dtype is
+    # pinned by the state
+    chunk = chunk.astype(state.delta.dtype)
+    transition = transition.astype(state.delta.dtype)
     if chunk_lengths is None:
         chunk_lengths = jnp.full((num_batches,), t_c, jnp.int32)
     ident = jnp.broadcast_to(
@@ -323,6 +356,7 @@ class StreamingWFSAState(NamedTuple):
 def streaming_wfsa_init(
     fsa, num_batches: int, dtype=jnp.float32
 ) -> StreamingWFSAState:
+    dtype = _accumulation_dtype(dtype)
     return StreamingWFSAState(
         alpha=jnp.broadcast_to(
             fsa.start.astype(dtype), (num_batches, fsa.num_states)
@@ -343,6 +377,7 @@ def streaming_wfsa_update(
     t_c, num_batches, _ = chunk.shape
     if chunk_lengths is None:
         chunk_lengths = jnp.full((num_batches,), t_c, jnp.int32)
+    chunk = chunk.astype(state.alpha.dtype)  # carry dtype is pinned
     dt = chunk.dtype
     w = fsa.weight.astype(dt)[None, :]
 
@@ -368,7 +403,11 @@ def streaming_wfsa_update(
 
 def streaming_wfsa_scores(fsa, state: StreamingWFSAState) -> jnp.ndarray:
     """(B,) acceptance score of everything consumed so far; equals the
-    one-shot ``wfsa_score`` at input_lengths == frames_seen."""
+    one-shot ``wfsa_score`` at input_lengths == frames_seen >= 1.  At
+    ZERO consumed frames this returns the empty-path acceptance score
+    lse(start + final) — finite when some state is both initial and
+    final — whereas the one-shot scorer returns -inf for length 0 (its
+    readout snapshots at the last consumed frame, which doesn't exist)."""
     return logsumexp(
         state.alpha + fsa.final.astype(state.alpha.dtype)[None, :], axis=1
     )

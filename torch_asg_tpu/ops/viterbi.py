@@ -167,7 +167,9 @@ def _maxplus_topk(transition, d_prev, k):
     cand_of = lambda rows: (
         rows[None, :, :, None] + d_prev[:, None, :, :]
     ).reshape(num_batches, rows.shape[0], num_labels * k)
-    if num_labels <= _CHUNK_MIN_LABELS:
+    # the unchunked tensor is (B, N, N*k) — k times the 1-best envelope —
+    # so the chunk threshold scales down with k
+    if num_labels <= max(1, _CHUNK_MIN_LABELS // k):
         vals, idx = lax.top_k(cand_of(transition), k)  # (B, N, k)
         return vals, idx.astype(jnp.int32)
 

@@ -35,11 +35,12 @@ def bucket_ladder(max_value: int, num_buckets: int = 8, min_value: int = 16):
             f"need num_buckets >= 1 and max_value >= min_value; got "
             f"{num_buckets}, {max_value} < {min_value}"
         )
-    ratio = (max_value / min_value) ** (1.0 / max(1, num_buckets - 1))
-    ladder = sorted({
-        int(round(min_value * ratio ** i)) for i in range(num_buckets)
-    } | {max_value})
-    return ladder
+    if num_buckets == 1:
+        return [max_value]
+    ratio = (max_value / min_value) ** (1.0 / (num_buckets - 1))
+    raw = [int(round(min_value * ratio ** i)) for i in range(num_buckets)]
+    raw[-1] = max_value  # exact top rung (rounding must not add a rung)
+    return sorted(set(raw))
 
 
 def pick_bucket(length: int, buckets: Sequence[int]) -> int:
