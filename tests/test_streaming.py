@@ -25,11 +25,14 @@ from torch_asg_tpu.ops.streaming import (
     streaming_viterbi_update,
 )
 from torch_asg_tpu.ops.streaming import (
+    streaming_nbest_backtrace,
+    streaming_nbest_init,
+    streaming_nbest_update,
     streaming_wfsa_init,
     streaming_wfsa_scores,
     streaming_wfsa_update,
 )
-from torch_asg_tpu.ops.viterbi import viterbi_decode
+from torch_asg_tpu.ops.viterbi import viterbi_decode, viterbi_nbest
 from torch_asg_tpu.ops.wfsa import chain_wfsa, full_wfsa, wfsa_score
 
 B, N, S = 3, 6, 4
@@ -313,6 +316,38 @@ def test_streaming_viterbi_partial_and_empty(rng):
                                       wp[:, b][wp[:, b] >= 0])
     assert np.isneginf(np.asarray(got.scores)[2])
     assert np.all(gp[:, 2] == -1)
+
+
+@pytest.mark.parametrize("splits", [[12], [5, 4, 3], [1] * 12])
+def test_streaming_nbest_matches_oneshot(rng, splits):
+    """Streaming n-best == one-shot viterbi_nbest on the consumed prefix,
+    ragged rates included (shared _maxplus_topk -> identical ties)."""
+    t_total, k = 12, 3
+    transition, inputs, _, _ = _problem(rng, t_total)
+    lengths = jnp.asarray([12, 8, 5], jnp.int32)
+
+    st = streaming_nbest_init(B, N, k, dtype=jnp.float64)
+    bps, vals = [], []
+    off = 0
+    for t_c in splits:
+        cl = jnp.clip(lengths - off, 0, t_c).astype(jnp.int32)
+        st, (bp, v) = streaming_nbest_update(
+            transition, st, inputs[off : off + t_c], chunk_lengths=cl
+        )
+        bps.append(bp)
+        vals.append(v)
+        off += t_c
+    got = streaming_nbest_backtrace(
+        st, jnp.concatenate(bps), jnp.concatenate(vals)
+    )
+    want = viterbi_nbest(transition, inputs, k, lengths)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-12)
+    gp, wp = np.asarray(got.paths), np.asarray(want.paths)
+    for b in range(B):
+        for r in range(k):
+            np.testing.assert_array_equal(
+                gp[:, b, r][gp[:, b, r] >= 0], wp[:, b, r][wp[:, b, r] >= 0]
+            )
 
 
 @pytest.mark.parametrize("splits", [[10], [4, 3, 3], [1] * 10])

@@ -10,9 +10,11 @@ from .ops.fac import fac_score
 from .ops.fcc import fcc_score
 from .ops.posteriors import fac_posteriors, fcc_posteriors
 from .ops.viterbi import viterbi_align, viterbi_decode, viterbi_nbest
-from .ops.streaming import (StreamingState, StreamingViterbiState,
-                            StreamingWFSAState, StreamTargets,
-                            streaming_init, streaming_scores,
+from .ops.streaming import (StreamingNBestState, StreamingState,
+                            StreamingViterbiState, StreamingWFSAState,
+                            StreamTargets, streaming_init,
+                            streaming_nbest_backtrace, streaming_nbest_init,
+                            streaming_nbest_update, streaming_scores,
                             streaming_targets, streaming_update,
                             streaming_viterbi_backtrace,
                             streaming_viterbi_init, streaming_viterbi_update,
@@ -55,4 +57,8 @@ __all__ = [
     "streaming_wfsa_init",
     "streaming_wfsa_update",
     "streaming_wfsa_scores",
+    "StreamingNBestState",
+    "streaming_nbest_init",
+    "streaming_nbest_update",
+    "streaming_nbest_backtrace",
 ]

@@ -35,7 +35,8 @@ from jax import lax
 from .fac import gather_aligned_emissions, make_aligned, _shift_right_s
 from .fcc import _exp_mats, _lse_mm
 from .semiring import NEG_INF, logsumexp
-from .viterbi import ViterbiResult, _maxplus_argmax
+from .viterbi import (NBestResult, ViterbiResult, _maxplus_argmax,
+                      _maxplus_topk)
 from ..utils.lengths import label_mask, time_mask
 
 
@@ -332,6 +333,105 @@ def streaming_viterbi_backtrace(
 
     _, emits = lax.scan(bstep, lab0, (backptr[::-1], valid[::-1]))
     return ViterbiResult(scores, emits[::-1])
+
+
+# ---------------------------------------------------------------------------
+# Streaming n-best decoding
+# ---------------------------------------------------------------------------
+#
+# Same shape as streaming Viterbi with the (label, rank) lattice of
+# ``viterbi_nbest``: carry (B, N, k) rank-resolved best scores, emit
+# (T_c, B, N, k) flat backpointers (j*k + r) per chunk, backtrace the k
+# best distinct paths of the consumed prefix at any point.  Shares
+# ``_maxplus_topk`` with the one-shot decoder (identical tie-breaking).
+
+
+class StreamingNBestState(NamedTuple):
+    delta: jnp.ndarray  # (B, N, k)
+    frames_seen: jnp.ndarray  # (B,) int32
+
+
+def streaming_nbest_init(
+    num_batches: int, num_labels: int, k: int, dtype=jnp.float32
+) -> StreamingNBestState:
+    dtype = _accumulation_dtype(dtype)
+    return StreamingNBestState(
+        delta=jnp.full((num_batches, num_labels, k), NEG_INF, dtype),
+        frames_seen=jnp.zeros((num_batches,), jnp.int32),
+    )
+
+
+def streaming_nbest_update(
+    transition: jnp.ndarray,
+    state: StreamingNBestState,
+    chunk: jnp.ndarray,
+    chunk_lengths: Optional[jnp.ndarray] = None,
+) -> tuple:
+    """Consume a (T_c, B, N) chunk; returns (state, (backptr, valid)) with
+    backptr (T_c, B, N, k) int32 flat (label*k + rank) indices."""
+    t_c, num_batches, num_labels = chunk.shape
+    k = state.delta.shape[2]
+    chunk = chunk.astype(state.delta.dtype)
+    transition = transition.astype(state.delta.dtype)
+    if chunk_lengths is None:
+        chunk_lengths = jnp.full((num_batches,), t_c, jnp.int32)
+    # identity backptr: slot (i, r) points at flat i*k + r
+    ident = jnp.broadcast_to(
+        (jnp.arange(num_labels, dtype=jnp.int32)[:, None] * k
+         + jnp.arange(k, dtype=jnp.int32)[None, :])[None],
+        (num_batches, num_labels, k),
+    )
+
+    def step(carry, xs):
+        d, seen = carry
+        t, i_t = xs
+        valid = (t < chunk_lengths)[:, None, None]
+        first = (seen == 0)[:, None, None] & valid
+        vals, bp = _maxplus_topk(transition, d, k)
+        d_new = i_t[:, :, None] + vals
+        seed = jnp.where(
+            jnp.arange(k)[None, None, :] == 0, i_t[:, :, None], NEG_INF
+        )
+        d_new = jnp.where(first, seed, d_new)
+        d = jnp.where(valid, d_new, d)
+        bp = jnp.where(valid & ~first, bp, ident)
+        seen = seen + valid[:, 0, 0].astype(jnp.int32)
+        return (d, seen), (bp, valid[:, 0, 0])
+
+    ts = jnp.arange(t_c)
+    (d, seen), (backptr, valid) = lax.scan(
+        step, (state.delta, state.frames_seen), (ts, chunk)
+    )
+    return StreamingNBestState(d, seen), (backptr, valid)
+
+
+def streaming_nbest_backtrace(
+    state: StreamingNBestState,
+    backptr: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> NBestResult:
+    """k best distinct paths over all frames consumed so far; emits -1 at
+    frames an element did not consume (same conventions as
+    ``viterbi_nbest`` on the concatenated prefix)."""
+    num_batches, num_labels, k = state.delta.shape
+    flat_end = state.delta.reshape(num_batches, num_labels * k)
+    scores, flat0 = lax.top_k(flat_end, k)  # (B, k) each
+    flat0 = flat0.astype(jnp.int32)
+
+    def bstep(flat, xs):
+        bp_t, v_t = xs  # (B, N, k), (B,)
+        emit = jnp.where(v_t[:, None], flat, -1)
+        prev = jnp.take_along_axis(
+            bp_t.reshape(num_batches, num_labels * k),
+            jnp.clip(flat, 0), axis=1,
+        )
+        flat = jnp.where(v_t[:, None], prev, flat)
+        return flat, emit
+
+    _, emits = lax.scan(bstep, flat0, (backptr[::-1], valid[::-1]))
+    flats = emits[::-1]
+    paths = jnp.where(flats >= 0, flats // k, -1).astype(jnp.int32)
+    return NBestResult(scores, paths)
 
 
 # ---------------------------------------------------------------------------
