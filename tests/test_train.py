@@ -141,3 +141,46 @@ def test_checkpoint_roundtrip_resumes_identically(rng, tmp_path):
         if "transition" in jax.tree_util.keystr(p)
     ]
     assert trans_path, "transition matrix missing from checkpointed params"
+
+
+def test_asg_training_drives_decode_to_target(rng):
+    """End-to-end learning: jointly optimizing emissions + transition
+    under the ASG loss drives the loss toward its zero minimum and makes
+    the unconstrained Viterbi decode collapse to the target sequence —
+    the criterion's entire point, exercised through grad + optax + the
+    decoder in one loop."""
+    import optax
+
+    from torch_asg_tpu import asg_loss, viterbi_decode
+
+    T, B, N = 24, 2, 6
+    targets = jnp.asarray([[1, 2, 3], [4, 0, 5]], jnp.int32)  # no repeats
+    lo = jnp.full((B,), 3, jnp.int32)
+    li = jnp.full((B,), T, jnp.int32)
+    params = {
+        "inputs": jnp.asarray(0.1 * rng.normal(size=(T, B, N))),
+        "trans": jnp.zeros((N, N)),
+    }
+
+    def loss(p):
+        return asg_loss(p["trans"], p["inputs"], targets, li, lo,
+                        reduction="mean", impl="scan")
+
+    opt = optax.adam(0.2)
+    opt_state = opt.init(params)
+    step = jax.jit(
+        lambda p, s: (lambda g: opt.update(g, s, p))(jax.grad(loss)(p))
+    )
+    first = float(loss(params))
+    for _ in range(120):
+        updates, opt_state = step(params, opt_state)
+        params = optax.apply_updates(params, updates)
+    last = float(loss(params))
+    assert last < 0.05 * first, (first, last)
+
+    res = viterbi_decode(params["trans"], params["inputs"], li)
+    paths = np.asarray(res.paths)
+    for b in range(B):
+        runs = [l for i, l in enumerate(paths[:, b])
+                if i == 0 or l != paths[i - 1, b]]
+        assert runs == list(np.asarray(targets[b])), (b, runs)
