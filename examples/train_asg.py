@@ -61,14 +61,14 @@ def synthetic_batch(rng: np.random.Generator, batch_size: int, max_frames: int):
     }, label_seqs
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--checkpoint-dir", type=str, default="")
     ap.add_argument("--profile-dir", type=str, default="")
     ap.add_argument("--impl", type=str, default="auto")
     ap.add_argument("--batch-size", type=int, default=8)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     model = Wav2Letter(num_labels=NUM_LABELS, channels=128, depth=2, head_channels=128)
     optimizer = optax.adamw(3e-3)
