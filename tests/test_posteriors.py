@@ -63,3 +63,48 @@ def test_fac_posteriors_peak_matches_viterbi(rng):
             total += 1
             agree += int(post_np[t, b].argmax() == pos_np[t, b])
     assert agree / total > 0.8
+
+
+def test_posteriors_differentiate_nan_free_on_ragged(rng):
+    """The posteriors API is advertised for distillation losses, so
+    jax.grad THROUGH it must be NaN-free on ragged batches (regression:
+    logsumexp's vjp produced 0*inf = NaN on all -inf rows past each
+    utterance's length)."""
+    T, B, N, S = 8, 3, 5, 3
+    inputs = jnp.asarray(rng.normal(size=(T, B, N)))
+    trans = jnp.asarray(rng.normal(size=(N, N)) * 0.5)
+    targets = jnp.asarray(rng.integers(0, N, size=(B, S)), jnp.int32)
+    li = jnp.asarray([8, 5, 2], jnp.int32)
+    lo = jnp.asarray([3, 2, 1], jnp.int32)
+    teacher = jax.nn.softmax(jnp.asarray(rng.normal(size=(T, B, N))), axis=2)
+
+    def distill(x):
+        p = fcc_posteriors(trans, x, li)
+        return jnp.sum((p - teacher) ** 2)
+
+    g = jax.grad(distill)(inputs)
+    assert np.isfinite(np.asarray(g)).all()
+
+    def distill_fac(x):
+        p = fac_posteriors(trans, x, targets, li, lo)
+        return jnp.sum(p ** 2)
+
+    g2 = jax.grad(distill_fac)(inputs)
+    assert np.isfinite(np.asarray(g2)).all()
+
+
+def test_fcc_posteriors_large_vocab_matmul_parity(rng, monkeypatch):
+    """Above the width threshold the matmul scans take over (regression:
+    the (B, N, N)-per-step forms OOM at wordpiece scale); both forms must
+    agree exactly in fp64."""
+    from torch_asg_tpu.ops import posteriors as post_mod
+
+    T, B, N = 7, 2, 9
+    inputs = jnp.asarray(rng.normal(size=(T, B, N)))
+    trans = jnp.asarray(rng.normal(size=(N, N)) * 0.5)
+    li = jnp.asarray([7, 4], jnp.int32)
+    ref = fcc_posteriors(trans, inputs, li)
+    monkeypatch.setattr(post_mod, "_MM_MIN_LABELS", 4)
+    got = fcc_posteriors(trans, inputs, li)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-9,
+                               atol=1e-12)

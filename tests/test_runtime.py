@@ -308,3 +308,32 @@ def test_device_prefetch_puts_on_device():
     assert len(out) == 3
     assert isinstance(out[1]["x"], jax.Array)
     np.testing.assert_allclose(np.asarray(out[2]["x"]), 2.0)
+
+
+def test_collapse_path_default_expands_rep_symbols():
+    """Default max_reps matches encode_targets (regression: the old
+    default 0 silently emitted raw repeat-symbol indices)."""
+    from torch_asg_tpu.runtime import collapse_path
+
+    N = 5
+    # path: a a rep1 b  -> a a a b  (rep1 = index N = one extra copy)
+    path = np.asarray([2, 2, N, 3], np.int32)
+    for native in (True, False):
+        out = collapse_path(path, alphabet_size=N, use_native=native)
+        assert out.tolist() == [2, 2, 3]
+    # encode/decode round-trip with defaults on both sides
+    from torch_asg_tpu.runtime import encode_targets
+
+    labels = np.asarray([4, 4, 4, 1, 2, 2], np.int64)
+    enc, ln = encode_targets([labels], alphabet_size=N)
+    rt = collapse_path(enc[0][: int(ln[0])], alphabet_size=N)
+    assert rt.tolist() == labels.tolist()
+
+
+def test_pack_frames_and_cmvn_reject_flat_utterance():
+    from torch_asg_tpu.runtime import cmvn, pack_frames
+
+    with pytest.raises(ValueError, match="expected"):
+        pack_frames([np.zeros(16, np.float32)])
+    with pytest.raises(ValueError, match="expected"):
+        cmvn([np.zeros(16, np.float32)])

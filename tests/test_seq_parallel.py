@@ -95,3 +95,22 @@ def test_seq_under_jit_with_sharded_inputs(rng):
     )
     ref = asg_loss(trans, inputs, targets, li, lo, reduction="mean", impl="scan")
     np.testing.assert_allclose(fn(trans, inputs_sh), ref, rtol=1e-10)
+
+
+def test_seq_parallel_bf16_and_wide_targets(rng):
+    """asg_loss_seq normalizes inputs like asg_loss: bf16 upcast (the
+    chunk scans would otherwise crash on a mixed-dtype carry or drift in
+    half precision) and the S > T target clamp (regression)."""
+    from torch_asg_tpu import asg_loss
+
+    mesh = make_mesh((4,), ("seq",), devices=jax.devices("cpu")[:4])
+    T, B, N, S = 8, 2, 5, 10  # S > T
+    inputs = jnp.asarray(rng.normal(size=(T, B, N)), jnp.bfloat16)
+    trans = jnp.asarray(rng.normal(size=(N, N)) * 0.3, jnp.float32)
+    targets = jnp.asarray(rng.integers(0, N, size=(B, S)), jnp.int32)
+    loss = asg_loss_seq(mesh, trans, inputs, targets, reduction="none")
+    assert np.all(np.isfinite(np.asarray(loss, np.float32)))
+    ref = asg_loss(trans, inputs.astype(jnp.float32), targets,
+                   reduction="none", impl="scan")
+    np.testing.assert_allclose(np.asarray(loss, np.float32), np.asarray(ref),
+                               rtol=2e-2, atol=1e-2)

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .semiring import NEG_INF, masked_softmax
+from .semiring import NEG_INF, logaddexp, masked_softmax
 from ..utils.lengths import label_mask, time_mask
 
 
@@ -186,7 +186,7 @@ def _alpha_scan(lat: AlignedLattice) -> jnp.ndarray:
     def step(a_prev, i_t):
         hori = a_prev + lat.self_trans
         diag = _shift_right_s(a_prev + lat.next_trans)
-        a = i_t + jnp.logaddexp(hori, diag)
+        a = i_t + logaddexp(hori, diag)  # grad-safe: posteriors autodiff here
         return a, a
 
     _, rest = lax.scan(step, a0, lat.inputs[1:])
@@ -210,7 +210,7 @@ def _beta_scan(
         t, i_next = xs
         hori = lat.self_trans + i_next + b_next
         diag = lat.next_trans + _shift_left_s(i_next + b_next)
-        raw = jnp.logaddexp(hori, diag)
+        raw = logaddexp(hori, diag)  # grad-safe: posteriors autodiff here
         b_t = jnp.where((input_lengths - 1 == t)[:, None], seed, raw)
         return b_t, b_t
 

@@ -18,9 +18,16 @@ from typing import Optional
 import jax.numpy as jnp
 
 from .fac import _alpha_scan as _fac_alpha, _beta_scan as _fac_beta, make_aligned
-from .fcc import _alpha_scan as _fcc_alpha, _beta_scan as _fcc_beta
+from .fcc import (_alpha_scan as _fcc_alpha, _alpha_scan_mm,
+                  _beta_scan as _fcc_beta, _beta_scan_mm)
 from .semiring import masked_softmax
 from ..utils.lengths import mask_emissions
+
+# Above this label count the (B, N, N) per-step tensor of the plain scan
+# forms is the memory problem (25 GB/step at N=10k, B=64); the matmul
+# forms (same math, O(B N) per step) take over — mirroring asg.py's
+# 'auto' -> 'matmul' degradation.
+_MM_MIN_LABELS = 512
 
 
 def fcc_posteriors(
@@ -40,8 +47,12 @@ def fcc_posteriors(
         inputs = inputs.astype(jnp.float32)
     transition = transition.astype(inputs.dtype)
     inputs_m = mask_emissions(inputs, input_lengths)
-    alpha = _fcc_alpha(transition, inputs_m)
-    beta = _fcc_beta(transition, inputs_m, input_lengths)
+    if inputs.shape[2] > _MM_MIN_LABELS:
+        alpha = _alpha_scan_mm(transition, inputs_m)
+        beta = _beta_scan_mm(transition, inputs_m, input_lengths)
+    else:
+        alpha = _fcc_alpha(transition, inputs_m)
+        beta = _fcc_beta(transition, inputs_m, input_lengths)
     return masked_softmax(alpha + beta, axis=2)
 
 

@@ -50,25 +50,42 @@ def strict_chain_precision(precision=jax.lax.Precision.HIGHEST):
 
 
 def logsumexp(x: jnp.ndarray, axis: int, keepdims: bool = False) -> jnp.ndarray:
-    """-inf-safe logsumexp along ``axis``.
+    """-inf-safe logsumexp along ``axis``, in primal AND gradient.
 
-    Rows that are entirely -inf reduce to -inf (not NaN).  This is the log
-    semiring's generalized sum; we never differentiate through it directly
-    (gradients come from posterior marginals via custom_vjp), so only the
-    primal needs to be NaN-free.
+    Rows that are entirely -inf reduce to -inf (not NaN).  The inner
+    ``log`` argument is guarded with the standard double-where so
+    autodiff through this function is NaN-free too (the cotangent of the
+    unselected ``log(0)`` branch would otherwise be 0 * inf = NaN): the
+    custom_vjp loss paths never differentiate through here, but the
+    posteriors API and autodiff-through users (wfsa, seq-parallel) do.
     """
     m = jnp.max(x, axis=axis, keepdims=True)
-    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    finite = jnp.isfinite(m)
+    m_safe = jnp.where(finite, m, 0.0)
     s = jnp.sum(jnp.exp(x - m_safe), axis=axis, keepdims=True)
-    out = jnp.where(jnp.isfinite(m), jnp.log(s) + m_safe, m)
+    out = jnp.where(
+        finite, jnp.log(jnp.where(s > 0, s, 1.0)) + m_safe, m
+    )
     if not keepdims:
         out = jnp.squeeze(out, axis=axis)
     return out
 
 
 def logaddexp(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Elementwise 2-way log-semiring sum; jnp.logaddexp is already -inf safe."""
-    return jnp.logaddexp(a, b)
+    """Elementwise 2-way log-semiring sum, -inf-safe in primal AND grad.
+
+    ``jnp.logaddexp``'s primal is -inf safe, but its VJP computes
+    ``exp(a - out)`` = exp(nan) when both args are -inf — poisoning
+    autodiff through the FAC scans on dead lattice rows.  The max-shift
+    form below has an exactly-zero cotangent through the shift (the m
+    terms cancel analytically), so tie-breaking in ``maximum`` is
+    irrelevant and every branch stays finite.
+    """
+    m = jnp.maximum(a, b)
+    finite = jnp.isfinite(m)
+    m_safe = jnp.where(finite, m, 0.0)
+    s = jnp.exp(a - m_safe) + jnp.exp(b - m_safe)
+    return jnp.where(finite, jnp.log(jnp.where(s > 0, s, 1.0)) + m_safe, m)
 
 
 def masked_softmax(x: jnp.ndarray, axis: int) -> jnp.ndarray:

@@ -50,6 +50,7 @@ from jax import lax
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
+from ..asg import _prep, _reduce
 from ..ops.fac import make_aligned
 from ..ops.semiring import NEG_INF
 
@@ -115,7 +116,11 @@ def _fcc_chunk(transition, inputs_c, valid_c):
     f0 = jnp.broadcast_to(
         _log_eye(num_labels, inputs_c.dtype), (num_batches, num_labels, num_labels)
     )
-    m_chunk, _ = lax.scan(mstep, f0, (inputs_c, valid_c))
+    # checkpoint the body: reverse-mode then stores only the (B, N, N)
+    # carry per step — the documented O((T/P) B N^2) — instead of the
+    # body's (B, N, N, N) exp/softmax internals (an N-fold blowup that
+    # would defeat the whole T/P memory argument)
+    m_chunk, _ = lax.scan(jax.checkpoint(mstep), f0, (inputs_c, valid_c))
 
     def vstep(a, xs):
         i_t, val = xs
@@ -123,7 +128,7 @@ def _fcc_chunk(transition, inputs_c, valid_c):
         return jnp.where(val[:, None], a_new, a), None
 
     a0 = jnp.where(valid_c[0][:, None], inputs_c[0], NEG_INF)
-    v_chunk, _ = lax.scan(vstep, a0, (inputs_c[1:], valid_c[1:]))
+    v_chunk, _ = lax.scan(jax.checkpoint(vstep), a0, (inputs_c[1:], valid_c[1:]))
     return m_chunk, v_chunk
 
 
@@ -141,7 +146,7 @@ def _fac_chunk(aligned_c, self_t, next_t, valid_c):
     g0 = jnp.broadcast_to(
         _log_eye(s_total, aligned_c.dtype), (num_batches, s_total, s_total)
     )
-    m_chunk, _ = lax.scan(mstep, g0, (aligned_c, valid_c))
+    m_chunk, _ = lax.scan(jax.checkpoint(mstep), g0, (aligned_c, valid_c))
 
     def vstep(a, xs):
         ai_t, val = xs
@@ -150,7 +155,7 @@ def _fac_chunk(aligned_c, self_t, next_t, valid_c):
 
     col = jnp.arange(s_total)[None, :]
     a0 = jnp.where((col == 0) & valid_c[0][:, None], aligned_c[0], NEG_INF)
-    v_chunk, _ = lax.scan(vstep, a0, (aligned_c[1:], valid_c[1:]))
+    v_chunk, _ = lax.scan(jax.checkpoint(vstep), a0, (aligned_c[1:], valid_c[1:]))
     return m_chunk, v_chunk
 
 
@@ -192,12 +197,18 @@ def asg_loss_seq(
     boundary transfer matrices, independent of T.  Differentiable via
     jax.grad; emission gradients come back time-sharded.
     """
+    # same front-end normalization as asg_loss: bf16/f16 upcast (the
+    # T-step recursion is too long for half-precision mantissas; a mixed
+    # bf16/f32 pair would also crash the scan carry), default lengths,
+    # and the reference's S > T target clamp
+    inputs, targets, input_lengths, target_lengths = _prep(
+        inputs, targets, input_lengths, target_lengths
+    )
+    transition = transition.astype(
+        jnp.promote_types(inputs.dtype, transition.dtype)
+    )
+    inputs = inputs.astype(transition.dtype)
     t_total, num_batches, num_labels = inputs.shape
-    s_total = targets.shape[1]
-    if input_lengths is None:
-        input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
-    if target_lengths is None:
-        target_lengths = jnp.full((num_batches,), s_total, dtype=jnp.int32)
     p_chips = mesh.shape[axis]
     if t_total % p_chips != 0:
         raise ValueError(
@@ -244,10 +255,4 @@ def asg_loss_seq(
         return full - aligned
 
     per_batch = _local(transition, inputs, targets, input_lengths, target_lengths)
-    if reduction == "sum":
-        return per_batch.sum()
-    if reduction == "mean":
-        return per_batch.mean()
-    if reduction == "none":
-        return per_batch
-    raise ValueError(f"unknown reduction {reduction!r}")
+    return _reduce(per_batch, reduction)

@@ -108,6 +108,10 @@ def pack_frames(
     num_batches = len(utterances)
     if num_batches == 0:
         return np.zeros((0, 0, 0), np.float32), np.zeros((0,), np.int32)
+    if utterances[0].ndim != 2:
+        raise ValueError(
+            f"utterance 0 has shape {utterances[0].shape}; expected (*, F)"
+        )
     feat_dim = utterances[0].shape[1]
     for b, u in enumerate(utterances):
         if u.ndim != 2 or u.shape[1] != feat_dim:
@@ -218,12 +222,16 @@ def encode_targets(
 def collapse_path(
     path: np.ndarray,
     alphabet_size: int = 0,
-    max_reps: int = 0,
+    max_reps: int = 2,
     use_native: Optional[bool] = None,
 ) -> np.ndarray:
     """Collapse a framewise label path (e.g. viterbi_decode output column)
-    into a label sequence: drop -1 padding, dedup runs, expand repeat
-    symbols when alphabet_size > 0."""
+    into a label sequence: drop -1 padding, dedup runs, and — when
+    ``alphabet_size > 0`` — expand the ``max_reps`` repeat symbols of the
+    ASG extended alphabet (labels ``alphabet_size .. alphabet_size +
+    max_reps - 1``; default 2 matches ``encode_targets``).  With
+    ``alphabet_size == 0`` it is a plain dedup and ``max_reps`` is
+    ignored."""
     path = np.ascontiguousarray(np.asarray(path, np.int32))
     lib = _load() if use_native in (None, True) else None
     if lib is not None and use_native is not False:
@@ -267,6 +275,10 @@ def cmvn(
     num_batches = len(utterances)
     if num_batches == 0:
         return []
+    if utterances[0].ndim != 2:
+        raise ValueError(
+            f"utterance 0 has shape {utterances[0].shape}; expected (*, F)"
+        )
     feat_dim = utterances[0].shape[1]
     for b, u in enumerate(utterances):
         if u.ndim != 2 or u.shape[1] != feat_dim:
