@@ -11,6 +11,13 @@ Score-only forward kernel variants at the benchmark shape, all chained
   v4_both_stale v0 with the stale-rescale FCC chain
   v5_dotchain  bare dependent-dot chain (the MXU latency floor)
   v6_raw       v0 but streaming raw-width (T,B,30)/(T,B,50) emissions
+  v7_fac2      FAC chain at HALF serial depth: 2 frames per dependent
+               step via a composed 3-band operator whose band weights
+               (w0/w1/w2 from emissions+transitions) precompute OFF the
+               chain.  TIMING-ONLY (per-element seeding inside a pair is
+               not implemented); answers PERF_R2 §5 lead 2's open
+               question — does halving the FAC dependency depth beat the
+               2-logaddexp/step walk on-chip?
 """
 
 import os
@@ -62,6 +69,7 @@ def _kernel(
     s_pad = qb_c.shape[1]
     do_fcc = mode in ("both", "fcc", "fcc_stale", "both_stale", "raw")
     do_fac = mode in ("both", "fac", "both_stale", "raw")
+    do_fac2 = mode == "fac2"
     stale = mode in ("fcc_stale", "both_stale")
 
     @pl.when(k == 0)
@@ -121,6 +129,34 @@ def _kernel(
             x = qb + ai_n
             rawb = jnp.logaddexp(selft + x, nextt + ak._rot_left(x, NEG_INF))
             qb = jnp.where(seed_b, seed_fac, rawb)
+
+    if do_fac2:
+        # Vectorized band-weight precompute (off the serial chain): the
+        # 2-step composed operator q'' = lse3(w0+q, w1+rot(q), w2+rot2(q)).
+        rl = lambda v: ak._rot_left(v, NEG_INF)
+        for p in range(kb // 2):
+            j_hi = kb - 1 - 2 * p
+            ai1 = aib_blk[j_hi]
+            ai2 = aib_blk[max(j_hi - 1, 0)]
+            w0 = selft + ai2 + selft + ai1
+            w1 = jnp.logaddexp(
+                selft + ai2 + nextt + rl(ai1),
+                nextt + rl(ai2) + rl(selft) + rl(ai1),
+            )
+            w2 = nextt + rl(ai2) + rl(nextt) + rl(rl(ai1))
+            # dependent part: ONE lse3 per 2 frames
+            a0 = w0 + qb
+            a1 = w1 + rl(qb)
+            a2 = w2 + rl(rl(qb))
+            m = jnp.maximum(jnp.maximum(a0, a1), a2)
+            m_safe = jnp.where(m > 0.5 * NEG_INF, m, 0.0)
+            s = (
+                jnp.exp(a0 - m_safe) + jnp.exp(a1 - m_safe)
+                + jnp.exp(a2 - m_safe)
+            )
+            qb = jnp.where(
+                m > 0.5 * NEG_INF, jnp.log(s) + m_safe, NEG_INF
+            ).astype(dt)
 
     pb_c[:], qb_c[:] = pb, qb
     offb_c[:] = offb
@@ -254,7 +290,7 @@ def main():
 
     results = {}
     ref_scores = None
-    for mode in ["both", "fcc", "fac", "fcc_stale", "both_stale", "raw"]:
+    for mode in ["both", "fcc", "fac", "fac2", "fcc_stale", "both_stale", "raw"]:
         f, e, ip, scores = run_variant(mode, trans, inputs, targets, li, lo)
 
         t = min(
