@@ -214,3 +214,12 @@ def test_vp_unknown_reduction_raises(case):
             mesh, case["trans"], case["inputs"], case["targets"],
             case["li"], case["lo"], reduction="avg",
         )
+
+
+def test_dp_unknown_reduction_raises(case):
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="reduction"):
+        asg_loss_dp(
+            mesh, case["trans"], case["inputs"], case["targets"],
+            case["li"], case["lo"], reduction="avg",
+        )

@@ -184,3 +184,20 @@ def test_asg_training_drives_decode_to_target(rng):
         runs = [l for i, l in enumerate(paths[:, b])
                 if i == 0 or l != paths[i - 1, b]]
         assert runs == list(np.asarray(targets[b])), (b, runs)
+
+
+def test_shard_train_state_handles_factored_optimizer(rng):
+    """adafactor's v_row/v_col mirror the params TREE with reduced-rank
+    leaves; shard_train_state must fall back to replication for them
+    instead of crashing on shape-incompatible param shardings
+    (regression)."""
+    mesh = make_mesh((2, 2), ("data", "model"),
+                     devices=jax.devices("cpu")[:4])
+    model = Wav2Letter(num_labels=8, channels=16, depth=1, head_channels=16)
+    state, _ = create_train_state(
+        model, jax.random.key(0), FEAT, optax.adafactor(1e-3)
+    )
+    sharded = shard_train_state(mesh, model, FEAT, state)
+    flat, _ = jax.tree_util.tree_flatten(sharded.opt_state)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat
+               if hasattr(x, "shape") and x.dtype.kind == "f")

@@ -170,6 +170,15 @@ def asg_loss(
         ``doc/tech_report.tex:78-88``): loss_tau = tau * loss(T/tau, I/tau).
         tau = 1 is the standard log semiring; tau -> 0 approaches the
         tropical (Viterbi) semiring.
+
+    Numeric precondition (fp32 exp-domain paths: 'fused', 'pallas',
+    'matmul'): the transition-matrix SPREAD max(T) - min(finite T) must
+    stay well inside the fp32 exp range (~80 nats) — the chains scale by
+    exp(T - max(T)), which underflows to exact zero beyond it and turns
+    scores to -inf with zeroed gradients.  Learned transitions live in
+    single digits; hand-crafted penalties beyond ~±40 should either use
+    -inf (fully supported as the semiring zero) or ``impl='scan'``
+    (log-domain throughout).  See CLAUDE.md's numeric-invariant notes.
     """
     inputs, targets, input_lengths, target_lengths = _prep(
         inputs, targets, input_lengths, target_lengths

@@ -87,6 +87,11 @@ class ASGLoss:
             # ``torch_asg/asg.py:129``): under stop_gradient nothing
             # differentiates through the loss, so the custom_vjp primal
             # (beta-only, no alpha/residual stores) is all that runs.
+            # SEMANTIC DIFFERENCE vs torch: the reference ERRORS on
+            # .backward() in this mode (no autograd graph exists); JAX has
+            # no backward graph to omit, so jax.grad through an eval-mode
+            # loss returns ZEROS instead of raising.  Call .train() (or
+            # construct with forward_only=False) before differentiating.
             import jax
 
             out = jax.lax.stop_gradient(out)

@@ -149,8 +149,17 @@ def shard_train_state(
 
     def place(node):
         # a subtree shaped exactly like params follows the param shardings
+        # — but only leaf-by-leaf where the SHAPES also match: factored
+        # optimizers (adafactor v_row/v_col) mirror the params tree
+        # structure with reduced-rank leaves, which a param spec would
+        # reject at device_put
         if jax.tree_util.tree_structure(node) == params_def:
-            return jax.device_put(node, p_shard)
+            def put(x, p_leaf, sh):
+                if hasattr(x, "shape") and x.shape == p_leaf.shape:
+                    return jax.device_put(x, sh)
+                return jax.device_put(x, repl) if hasattr(x, "shape") else x
+
+            return jax.tree_util.tree_map(put, node, state.params, p_shard)
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x,
             node,

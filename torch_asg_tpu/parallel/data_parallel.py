@@ -63,6 +63,12 @@ def asg_loss_dp(
             f"{axis!r} = {mesh.shape[axis]}"
         )
 
+    from ..asg import REDUCTIONS
+
+    if reduction not in REDUCTIONS:
+        raise ValueError(
+            f"unknown reduction {reduction!r}; expected one of {REDUCTIONS}"
+        )
     if reduction == "none":
         out_spec = P(axis)
     else:

@@ -49,7 +49,8 @@ def init_distributed(
     refuses to run once the XLA backend is up.
     """
     last_err = None
-    for _ in range(max(1, retries)):
+    n_tries = max(1, retries)
+    for attempt in range(n_tries):
         try:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
@@ -77,7 +78,8 @@ def init_distributed(
                 )
                 return jax.process_count() > 1
             last_err = e
-            time.sleep(retry_delay_s)
+            if attempt + 1 < n_tries:  # no pointless sleep after the last try
+                time.sleep(retry_delay_s)
         except ValueError:
             if (
                 coordinator_address is not None
