@@ -1,28 +1,33 @@
-"""Streaming / chunked ASG scoring for online inference.
+"""Streaming / chunked online scoring and decoding.
 
-The lattice recursions are left-to-right, so both ASG scores can be
-computed incrementally: feed emission chunks as they arrive, carry a
-tiny state between chunks, and read out the score at any prefix length.
-The reference processes whole utterances only (its recursions take the
-full (T, B, N) tensor); this module is the online counterpart for
-streaming recognizers.
+The lattice recursions are left-to-right, so everything here computes
+incrementally: feed emission chunks as they arrive, carry a tiny state
+between chunks, and read out exact results at any prefix length.  The
+reference processes whole utterances only (its recursions take the full
+(T, B, N) tensor); this module is the online counterpart for streaming
+recognizers.  Four surfaces, all pinned to their one-shot twins by
+tests/test_streaming.py:
 
-State per batch element:
-  * FCC: the current log-domain alpha row (B, N) — the log-partition
-    over all paths so far;
-  * FAC: the current aligned-lattice alpha row (B, S) for a fixed
-    target;
-  * frames_seen (B,) so ragged chunk boundaries compose.
+  * ``streaming_*``          ASG scores (FCC alpha (B, N) + FAC alpha
+                             (B, S) carries); ``full - aligned`` is a
+                             streaming prefix loss.  ``streaming_targets``
+                             precomputes the chunk-invariant target-side
+                             gathers + the FCC exp-transition so a jitted
+                             update pays only the per-chunk emission
+                             gather.
+  * ``streaming_viterbi_*``  best path ((B, N) delta carry + per-chunk
+                             backpointers, backtrace at any prefix).
+  * ``streaming_nbest_*``    k best distinct paths ((B, N, k) carry).
+  * ``streaming_wfsa_*``     generic-acceptor acceptance scores
+                             ((B, num_states) carry).
 
-Scores read out from a state match the one-shot ``fcc_score`` /
-``fac_score`` on the concatenated chunks exactly (same masked-scan math,
-pinned by tests/test_streaming.py), so
-``full - aligned`` gives a streaming ASG loss for prefix scoring /
-early-exit applications.
-
-Everything is a pytree of arrays: init/update/readout all jit, and
-chunks of any static length compose (recompile happens per distinct
-chunk length, as usual under jit).
+Per-batch ``chunk_lengths`` make ragged chunk boundaries compose, so
+batch elements advance at different rates.  Everything is a pytree of
+(B, ...)-leading arrays: init/update/readout all jit, shard over a data
+mesh with shard_map, and chunks of any static length compose (recompile
+per distinct chunk length, as usual under jit).  Half-precision inputs
+upcast at the boundary like the one-shot APIs (scores accumulate over
+the whole stream).
 """
 
 from __future__ import annotations
