@@ -8,6 +8,7 @@ and against brute-force path enumeration on tiny lattices.
 
 import itertools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -252,3 +253,35 @@ def test_viterbi_decode_chunked_matches(rng, monkeypatch):
     got = viterbi_decode(trans, inputs, li)
     np.testing.assert_allclose(got.scores, ref.scores)
     np.testing.assert_array_equal(np.asarray(got.paths), np.asarray(ref.paths))
+
+
+def test_alignment_segments(rng):
+    """Timestamps from the forced alignment: spans partition each
+    utterance, abut consecutively, and agree with a brute-force pass over
+    the positions array."""
+    from torch_asg_tpu import alignment_segments
+
+    T, B, N, S = 14, 3, 6, 4
+    inputs = jnp.asarray(rng.normal(size=(T, B, N)))
+    trans = jnp.asarray(rng.normal(size=(N, N)) * 0.5)
+    targets = jnp.asarray(rng.integers(0, N, size=(B, S)), jnp.int32)
+    li = jnp.asarray([14, 9, 5], jnp.int32)
+    lo = jnp.asarray([4, 3, 2], jnp.int32)
+    ali = viterbi_align(trans, inputs, targets, li, lo)
+    seg = jax.jit(lambda a: alignment_segments(a, S))(ali)
+    starts, ends = np.asarray(seg.starts), np.asarray(seg.ends)
+    pos = np.asarray(ali.positions)
+    for b in range(B):
+        L, K = int(li[b]), int(lo[b])
+        for s in range(S):
+            frames = np.nonzero(pos[:, b] == s)[0]
+            if s < K:
+                assert starts[b, s] == frames.min()
+                assert ends[b, s] == frames.max()
+            else:
+                assert starts[b, s] == -1 and ends[b, s] == -1
+        # partition: slot 0 starts at 0, spans abut, last ends at L-1
+        assert starts[b, 0] == 0
+        for s in range(1, K):
+            assert starts[b, s] == ends[b, s - 1] + 1
+        assert ends[b, K - 1] == L - 1

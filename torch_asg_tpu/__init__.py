@@ -9,7 +9,8 @@ from .asg import ASGLoss, asg_loss, asg_scores
 from .ops.fac import fac_score
 from .ops.fcc import fcc_score
 from .ops.posteriors import fac_posteriors, fcc_posteriors
-from .ops.viterbi import viterbi_align, viterbi_decode, viterbi_nbest
+from .ops.viterbi import (alignment_segments, viterbi_align, viterbi_decode,
+                          viterbi_nbest)
 from .ops.streaming import (StreamingNBestState, StreamingState,
                             StreamingViterbiState, StreamingWFSAState,
                             StreamTargets, streaming_init,
@@ -36,6 +37,7 @@ __all__ = [
     "viterbi_decode",
     "viterbi_align",
     "viterbi_nbest",
+    "alignment_segments",
     "WFSA",
     "chain_wfsa",
     "full_wfsa",

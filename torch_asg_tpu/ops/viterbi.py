@@ -150,6 +150,37 @@ def viterbi_decode(
     return ViterbiResult(scores, paths)
 
 
+class SegmentsResult(NamedTuple):
+    starts: jnp.ndarray  # (B, S) int32 first frame of slot s, -1 if unused
+    ends: jnp.ndarray  # (B, S) int32 last frame (inclusive), -1 if unused
+
+
+def alignment_segments(
+    alignment: AlignmentResult, s_total: int
+) -> SegmentsResult:
+    """Frame spans per target slot from a ``viterbi_align`` result.
+
+    The segmentation that gives ASG its name, in timestamp form: slot s
+    of batch element b occupies frames ``starts[b, s] .. ends[b, s]``
+    (inclusive; multiply by the frontend's frame stride for seconds).
+    ``s_total`` is the (static) padded target width S.  Slots past
+    ``target_lengths[b]`` are (-1, -1).  Spans partition each utterance:
+    starts[b, 0] == 0 and consecutive spans abut (monotone alignment,
+    one slot per frame).
+    """
+    positions = alignment.positions  # (T, B) int32, -1 at padding
+    t_total, num_batches = positions.shape
+    slot = jnp.arange(s_total, dtype=jnp.int32)[None, None, :]  # (1,1,S)
+    hit = positions[:, :, None] == slot  # (T, B, S)
+    ts = jnp.arange(t_total, dtype=jnp.int32)[:, None, None]
+    starts = jnp.min(jnp.where(hit, ts, t_total), axis=0)
+    ends = jnp.max(jnp.where(hit, ts, -1), axis=0)
+    used = ends >= 0
+    starts = jnp.where(used, starts, -1).astype(jnp.int32)
+    ends = ends.astype(jnp.int32)
+    return SegmentsResult(starts, ends)
+
+
 class NBestResult(NamedTuple):
     scores: jnp.ndarray  # (B, K) best-path scores, descending per batch
     paths: jnp.ndarray  # (T, B, K) int32 labels, -1 at padding frames
