@@ -28,7 +28,6 @@ import jax.numpy as jnp
 
 from .ops.fac import fac_score
 from .ops.fcc import fcc_score
-from .utils.lengths import default_lengths
 
 REDUCTIONS = ("mean", "sum", "none")
 IMPLS = ("scan", "pallas", "fused", "matmul", "auto")

@@ -15,7 +15,6 @@ batch is data-parallel over 'data'.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
 
 import flax.linen as nn
 import jax

@@ -13,7 +13,6 @@ of emissions against compute automatically via the grid).
 from __future__ import annotations
 
 import contextlib
-import functools
 
 import jax
 import jax.numpy as jnp

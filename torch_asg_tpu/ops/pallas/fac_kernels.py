@@ -22,7 +22,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .common import LANE, NEG_INF, SUBLANE, pad_axis, round_up, use_interpret
-from ..fac import AlignedLattice, make_aligned, scatter_to_full
+from ..fac import make_aligned, scatter_to_full
 
 
 def _shift_right(x, fill):
