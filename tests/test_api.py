@@ -32,6 +32,28 @@ def test_readme_shape_smoke(rng):
 
 
 @pytest.mark.parametrize("impl", ["scan", "pallas", "fused", "matmul"])
+def test_oob_targets_clip_not_crash(rng, impl):
+    """Negative / >= N target labels clip into [0, N) like the reference's
+    gather kernels (``force_aligned_lattice.cpp`` indexes T[y, y] after
+    host-side validation; here the clip IS the contract) — same loss as
+    pre-clipped targets, no crash, finite grads."""
+    T, B, N, S = 7, 2, 5, 3
+    inputs = jnp.asarray(rng.normal(size=(T, B, N)))
+    trans = jnp.asarray(rng.normal(size=(N, N)))
+    bad = jnp.asarray([[-3, 2, 99], [0, -1, 4]], jnp.int32)
+    good = jnp.clip(bad, 0, N - 1)
+    li = jnp.asarray([7, 5], jnp.int32)
+    lo = jnp.asarray([3, 2], jnp.int32)
+    out_bad = asg_loss(trans, inputs, bad, li, lo, reduction="none", impl=impl)
+    out_good = asg_loss(trans, inputs, good, li, lo, reduction="none", impl=impl)
+    np.testing.assert_allclose(np.asarray(out_bad), np.asarray(out_good),
+                               rtol=1e-12)
+    g = jax.grad(lambda tr: asg_loss(tr, inputs, bad, li, lo,
+                                     reduction="sum", impl=impl))(trans)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("impl", ["scan", "pallas", "fused", "matmul"])
 def test_empty_target_gives_inf_not_nan(rng, impl):
     """L_out = 0 means no alignable path: the element's loss is +inf and
     no NaN leaks into the batch (same contract as the unalignable
