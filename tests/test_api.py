@@ -54,6 +54,25 @@ def test_oob_targets_clip_not_crash(rng, impl):
 
 
 @pytest.mark.parametrize("impl", ["scan", "pallas", "fused", "matmul"])
+def test_unalignable_element_gives_inf_not_nan(rng, impl):
+    """Per-element L_out > L_in (more target slots than frames, with the
+    padded S <= T so the front-end clamp does NOT fire): that element's
+    loss is +inf — no monotone alignment exists — and the rest of the
+    batch stays clean."""
+    T, B, N, S = 6, 3, 5, 5
+    inputs = jnp.asarray(rng.normal(size=(T, B, N)))
+    trans = jnp.asarray(rng.normal(size=(N, N)))
+    targets = jnp.asarray(rng.integers(0, N, size=(B, S)), jnp.int32)
+    li = jnp.asarray([6, 3, 6], jnp.int32)
+    lo = jnp.asarray([4, 5, 2], jnp.int32)  # element 1: 5 slots, 3 frames
+    out = np.asarray(
+        asg_loss(trans, inputs, targets, li, lo, reduction="none", impl=impl)
+    )
+    assert np.isposinf(out[1])
+    assert np.isfinite(out[[0, 2]]).all()
+
+
+@pytest.mark.parametrize("impl", ["scan", "pallas", "fused", "matmul"])
 def test_empty_target_gives_inf_not_nan(rng, impl):
     """L_out = 0 means no alignable path: the element's loss is +inf and
     no NaN leaks into the batch (same contract as the unalignable
