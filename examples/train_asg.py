@@ -35,8 +35,9 @@ NUM_LABELS = ALPHABET + MAX_REPS
 FEATURE_DIM = 64
 
 
-def synthetic_batch(rng: np.random.Generator, batch_size: int, max_frames: int):
-    """Utterances whose features weakly encode a random letter sequence."""
+def synthetic_raw(rng: np.random.Generator, batch_size: int, max_frames: int):
+    """Raw ragged utterances whose features weakly encode a random letter
+    sequence (the 'corpus' — fixed across epochs like real training)."""
     utts, label_seqs = [], []
     for _ in range(batch_size):
         n_labels = int(rng.integers(3, 8))
@@ -47,9 +48,14 @@ def synthetic_batch(rng: np.random.Generator, batch_size: int, max_frames: int):
             f = rng.normal(0, 0.3, size=(int(k), FEATURE_DIM)).astype(np.float32)
             f[:, lab % FEATURE_DIM] += 2.0  # planted evidence
             feats.append(f)
-        feats = np.concatenate(feats)[:max_frames]
-        utts.append(feats)
+        utts.append(np.concatenate(feats)[:max_frames])
         label_seqs.append(labels.astype(np.int32))
+    return utts, label_seqs
+
+
+def prepare_batch(utts, label_seqs):
+    """Host data path for one batch: CMVN + pack + encode (the C++/OpenMP
+    runtime; runs per step in the prefetcher's worker thread)."""
     utts = cmvn(utts)  # per-utterance feature normalization (C++ runtime)
     features, feat_lengths = pack_frames(utts)  # (T, B, F) via the C++ runtime
     targets, target_lengths = encode_targets(label_seqs, ALPHABET, MAX_REPS)
@@ -58,7 +64,12 @@ def synthetic_batch(rng: np.random.Generator, batch_size: int, max_frames: int):
         "feature_lengths": jnp.asarray(feat_lengths),
         "targets": jnp.asarray(targets),
         "target_lengths": jnp.asarray(target_lengths),
-    }, label_seqs
+    }
+
+
+def synthetic_batch(rng: np.random.Generator, batch_size: int, max_frames: int):
+    utts, label_seqs = synthetic_raw(rng, batch_size, max_frames)
+    return prepare_batch(utts, label_seqs), label_seqs
 
 
 def main(argv=None):
@@ -92,13 +103,18 @@ def main(argv=None):
 
     rng = np.random.default_rng(0)
     start = int(state.step)
-    # async input pipeline: CMVN + packing + encoding (C++/OpenMP, GIL-
-    # free) for the NEXT batches run while the chip executes this step
+    # a small FIXED corpus, cycled (epochs): the loss descends visibly
+    # and the final decode runs on data the model actually trained on
+    corpus = [
+        synthetic_raw(rng, args.batch_size, max_frames=32)
+        for _ in range(4)
+    ]
+    # async input pipeline: each step's CMVN + packing + encoding
+    # (C++/OpenMP, GIL-free) runs in the worker while the chip executes
+    # the previous step
     steps_iter = range(start, start + args.steps)
     prefetcher = BatchPrefetcher(
-        steps_iter,
-        lambda _s: synthetic_batch(rng, args.batch_size, max_frames=32)[0],
-        depth=2,
+        steps_iter, lambda s: prepare_batch(*corpus[s % len(corpus)]), depth=2
     )
     with trace(args.profile_dir or None), prefetcher:
         for step, batch in zip(steps_iter, prefetcher):
@@ -110,8 +126,9 @@ def main(argv=None):
     if ckpt_mgr:
         ckpt_mgr.wait_until_finished()
 
-    # decode one utterance with the trained model
-    batch, label_seqs = synthetic_batch(rng, 2, max_frames=32)
+    # decode one TRAINED utterance with the trained model
+    utts0, label_seqs = corpus[0]
+    batch = prepare_batch(utts0, label_seqs)
     emissions = model.apply({"params": state.params["encoder"]}, batch["features"])
     lengths = model.output_length(batch["feature_lengths"]).astype(jnp.int32)
     res = viterbi_decode(state.params["transition"], emissions, lengths)
