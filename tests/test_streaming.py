@@ -386,7 +386,6 @@ def test_streaming_under_data_parallel_mesh(rng):
     same result as the single-chip stream (online multi-stream serving)."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
     from torch_asg_tpu.parallel import make_mesh
 
     t_total = 8
@@ -398,14 +397,14 @@ def test_streaming_under_data_parallel_mesh(rng):
     target_lengths = jnp.full((big_b,), S, jnp.int32)
 
     mesh = make_mesh()
-    upd = shard_map(
+    upd = jax.shard_map(
         lambda tr, st, ch, tg, tl: streaming_update(
             tr, st, ch, tg, target_lengths=tl
         ),
         mesh=mesh,
         in_specs=(P(), P("data"), P(None, "data"), P("data"), P("data")),
         out_specs=P("data"),
-        check_rep=False,
+        check_vma=False,
     )
     st = streaming_init(big_b, N, S, dtype=jnp.float64)
     st_ref = st
