@@ -50,8 +50,9 @@ B, T, S, N = 64, 1000, 50, 30
 CHAIN_K = 8  # in-graph steps per dispatch
 WARMUP, ITERS = 2, 12  # dispatches (each = CHAIN_K steps)
 REPEATS = 3
-DOT_CHAIN_NS = 78.0  # measured bare dependent-dot latency (exp_r2_chain)
-WALK_NS = 270.0  # measured both-chain walk as built (docs/PERF_R2.md §2)
+# Floors are MEASURED IN-RUN (measure_dot_chain_ns / measure_walk_ns
+# below) so a compiler/runtime update cannot silently stale them; the
+# round-2 hardcoded constants were 78.0 (bare dot) and 270.0 (walk).
 
 BIG_N = 10_000  # BASELINE config 5: wordpiece-scale vocabulary
 BIG_T, BIG_B, BIG_S = 100, 8, 10
@@ -106,6 +107,117 @@ def measured_bandwidth(fetch_s):
     ) / CHAIN_K
     # per iteration: one full read (the sum), one read+write (the add)
     return (3 * x.nbytes) / t / 1e9
+
+
+def measure_dot_chain_ns(fetch_s):
+    """Bare dependent-MXU-dot latency, ns/step: T serial (B_pad, N_pad) @
+    (N_pad, N_pad) dots in a Pallas kernel, chained CHAIN_K deep in-graph.
+    This is the latency floor a recursion step cannot beat on this chip
+    (replaces the round-2 hardcoded 78 ns)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from torch_asg_tpu.ops.pallas import asg_kernels as ak
+    from torch_asg_tpu.ops.pallas.common import LANE, SUBLANE, round_up
+    from torch_asg_tpu.utils.profiling import time_fn_chained
+
+    kb = ak.ASG_TIME_BLOCK
+    b_pad = round_up(B, SUBLANE)
+    n_pad = round_up(N, LANE)
+
+    def kern(e_ref, x_ref, out_ref, acc_c):
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _():
+            acc_c[:] = x_ref[:]
+
+        acc = acc_c[:]
+        e = e_ref[:]
+        for _ in range(kb):
+            acc = ak._dot(acc, e, acc.dtype)
+        acc_c[:] = acc
+
+        @pl.when(k == pl.num_programs(0) - 1)
+        def _():
+            out_ref[:] = acc
+
+    # spectral-radius ~1 so T chained matmuls neither overflow nor die
+    e = jnp.exp(
+        jnp.asarray(
+            np.random.default_rng(1).normal(size=(n_pad, n_pad)), jnp.float32
+        ) * 0.01 - 1.0
+    )
+    x0 = jnp.ones((b_pad, n_pad), jnp.float32) / n_pad
+    dc = pl.pallas_call(
+        kern,
+        grid=(T // kb,),
+        in_specs=[
+            pl.BlockSpec((n_pad, n_pad), lambda k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, n_pad), lambda k: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (b_pad, n_pad), lambda k: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b_pad, n_pad), jnp.float32)],
+    )
+
+    def chain(e_, x):
+        def body(x_c, _):
+            return dc(e_, x_c), None
+        x_o, _ = jax.lax.scan(body, x, None, length=CHAIN_K)
+        return x_o
+
+    f = jax.jit(chain)
+    f(e, x0)
+    t = min(
+        time_fn_chained(lambda x: f(e, x), lambda _, out: out, x0,
+                        warmup=2, iters=ITERS, fetch_s=fetch_s)
+        for _ in range(2)
+    ) / CHAIN_K
+    return t / T * 1e9
+
+
+def measure_walk_ns(trans, inputs, targets, li, lo, fetch_s):
+    """The both-chain walk AS BUILT, ns/step: the production store-less
+    fwd kernel (FCC exp-domain dot+rescale interleaved with the FAC
+    log-domain 2-way band step) chained on pre-prepared operands — no
+    prep einsum, no residual stores.  2*T of this walk is the binding
+    serial constraint of the fused fwd+bwd (docs/PERF_R2.md §2); measured
+    in-run (replaces the round-2 hardcoded 270 ns)."""
+    from torch_asg_tpu.ops.pallas import asg_kernels as ak
+    from torch_asg_tpu.utils.profiling import time_fn_chained
+
+    lat, ip, ap, e, e_t, self_p, next_p, li_col, lo_col, c, dims = jax.jit(
+        lambda tr, i: ak._prepare(tr, i, targets, li, lo)
+    )(trans, inputs)
+    (_, _, num_labels, _, _, n_pad, s_pad) = dims
+    geom = (num_labels, n_pad, s_pad)
+
+    def chain(e_, ip_, ap_):
+        def body(e_c, _):
+            sful, sfac = ak._run_fwd(
+                li_col, lo_col, e_c, self_p, next_p, ip_, ap_, geom,
+                store=False,
+            )
+            # nan_to_num: sfac can be -inf for unalignable pads; 0*(-inf)
+            # would poison the chained carry
+            e_n = e_c + jnp.nan_to_num(0.0 * (sful[0, 0] + sfac[0, 0]))
+            return e_n, None
+        e_o, _ = jax.lax.scan(body, e_, None, length=CHAIN_K)
+        return e_o
+
+    f = jax.jit(chain)
+    f(e, ip, ap)
+    t = min(
+        time_fn_chained(lambda e_: f(e_, ip, ap), lambda _, out: out, e,
+                        warmup=2, iters=ITERS, fetch_s=fetch_s)
+        for _ in range(2)
+    ) / CHAIN_K
+    return t / T * 1e9
 
 
 def fused_hbm_bytes():
@@ -243,15 +355,25 @@ def main():
     bw_gbps = measured_bandwidth(fetch_s)
     bytes_total, _ = fused_hbm_bytes()
     t_bw_floor_ms = bytes_total / (bw_gbps * 1e9) * 1e3
-    t_chain_floor_ms = 2 * T * DOT_CHAIN_NS * 1e-6  # fwd + bwd serial walks
-    floor_ms = max(t_bw_floor_ms, t_chain_floor_ms)
-    roofline_frac = floor_ms / t_fused if t_fused > 0 else 0.0
+    _mark("dot-chain floor (in-run)")
+    dot_ns = measure_dot_chain_ns(fetch_s)
+    t_chain_floor_ms = 2 * T * dot_ns * 1e-6  # fwd + bwd serial walks
     # the floor of the chain AS BUILT (FCC exp-domain dot+rescale
-    # interleaved with the FAC 2-way logaddexp, measured 270 ns/step on
-    # this chip — docs/PERF_R2.md §2/§4): the gap between it and the bare
-    # dot chain is VPU work with no cheaper measured form (§4 NO-GOs)
-    t_walk_ms = 2 * T * WALK_NS * 1e-6
+    # interleaved with the FAC 2-way logaddexp — docs/PERF_R2.md §2/§4):
+    # the gap between it and the bare dot chain is VPU work with no
+    # cheaper measured form (§4 NO-GOs).  This is the BINDING constraint:
+    # it exceeds both the HBM floor and the bare-dot floor.
+    _mark("walk floor (in-run)")
+    walk_ns = measure_walk_ns(trans, inputs, targets, li, lo, fetch_s)
+    t_walk_ms = 2 * T * walk_ns * 1e-6
     walk_frac = t_walk_ms / t_fused if t_fused > 0 else 0.0
+    floors = {
+        "hbm": t_bw_floor_ms,
+        "bare dot chain": t_chain_floor_ms,
+        "implemented walk": t_walk_ms,
+    }
+    binding = max(floors, key=floors.get)
+    roofline_frac = floors[binding] / t_fused if t_fused > 0 else 0.0
 
     # ------------------------------------------------------------------
     # BASELINE config 5: 10k-label vocabulary, single chip (impl matmul)
@@ -287,6 +409,24 @@ def main():
     t_big = best_of(lambda i: bigf(big_trans, i), big_inputs, feedback,
                     fetch_s, iters=4, repeats=2) / 2
 
+    # 10k forward-only (score path, no alpha/no grads): the 2x20 GB
+    # alpha+beta scan analysis (docs/PERF_R2.md §3.4) implies ~2/3 of the
+    # train step; VERDICT r2 item 9 asked for the measurement.
+    def big_fwd_chain(btr, inp):
+        def body(inp_c, _):
+            loss = asg_loss(btr, inp_c, big_tgt, big_li, big_lo,
+                            reduction="mean", impl="matmul")
+            return inp_c + 0.0 * loss, loss
+        inp_o, losses = jax.lax.scan(body, inp, None, length=2)
+        return losses[-1], inp_o
+
+    bigfw = jax.jit(big_fwd_chain)
+    _mark("compile 10k fwd-only")
+    bigfw(big_trans, big_inputs)
+    _mark("time 10k fwd-only")
+    t_big_fwd = best_of(lambda i: bigfw(big_trans, i), big_inputs, feedback,
+                        fetch_s, iters=4, repeats=2) / 2
+
     frames = B * T
     frames_per_sec = frames / (t_fused / 1e3)
     print(json.dumps({
@@ -307,17 +447,21 @@ def main():
                 "hbm_bytes_per_step": bytes_total,
                 "measured_bw_gbps": round(bw_gbps, 1),
                 "bw_floor_ms": round(t_bw_floor_ms, 3),
+                "dot_chain_ns_per_step": round(dot_ns, 1),
                 "serial_chain_floor_ms": round(t_chain_floor_ms, 3),
-                "binding_floor": (
-                    "hbm" if t_bw_floor_ms > t_chain_floor_ms else "serial chain"
-                ),
-                "fraction_of_roofline": round(roofline_frac, 3),
+                "walk_ns_per_step": round(walk_ns, 1),
                 "implemented_walk_floor_ms": round(t_walk_ms, 3),
+                # all three floors are measured in THIS run; the binding
+                # one is the largest (normally the implemented walk,
+                # docs/PERF_R2.md §2)
+                "binding_floor": binding,
+                "fraction_of_binding_floor": round(roofline_frac, 3),
                 "fraction_of_walk_floor": round(walk_frac, 3),
             },
             "vocab10k_matmul": {
                 "shape": f"T={BIG_T},B={BIG_B},N={BIG_N}",
                 "step_ms": round(t_big, 1),
+                "forward_only_ms": round(t_big_fwd, 1),
                 "strict_precision_loss_match": big_ok,
             },
             "backend": jax.default_backend(),

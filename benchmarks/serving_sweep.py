@@ -1,0 +1,231 @@
+"""Serving-surface benchmark sweep: streaming, large-vocab decode, WFSA.
+
+VERDICT r2 next-round item 4: the streaming and WFSA surfaces (the
+"beyond the reference" serving capabilities) had zero on-chip numbers.
+One JSON line per row, in-graph chained timing (see bench.py /
+docs/PERF_R2.md for why anything else lies through this tunnel):
+
+  * streaming_update / streaming_viterbi_update per-chunk latency at a
+    realistic serving shape (B=8, chunk=16) for N=30 and N=512, with
+    ``streaming_targets`` precompute (the advertised serving fast path);
+  * viterbi_decode + viterbi_nbest(k=4) at N=10k (the chunked max-plus
+    path past _CHUNK_MIN_LABELS — no recorded number existed above 512);
+  * wfsa_score / wfsa_viterbi on a lexicon-scale graph (E ~ 5k arcs).
+
+Run: python benchmarks/serving_sweep.py  (real TPU; several minutes)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time as _time
+
+_T0 = _time.time()
+
+
+def _mark(s):
+    print(f"[serv {_time.time()-_T0:6.1f}s] {s}", file=sys.stderr, flush=True)
+
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CHAIN_K = 8
+
+
+def _best(fn, x0, feedback, fetch_s, iters=12, repeats=3):
+    from torch_asg_tpu.utils.profiling import time_fn_chained
+
+    return min(
+        time_fn_chained(fn, feedback, x0, warmup=2, iters=iters,
+                        fetch_s=fetch_s)
+        for _ in range(repeats)
+    ) * 1e3 / CHAIN_K
+
+
+def bench_streaming(num_labels, fetch_s):
+    """Per-chunk latency of the streaming scorer and streaming Viterbi,
+    stream_targets precomputed (the long-running-loop fast path)."""
+    from torch_asg_tpu.ops.streaming import (
+        streaming_init, streaming_targets, streaming_update,
+        streaming_viterbi_init, streaming_viterbi_update,
+    )
+
+    b, t_c, s = 8, 16, 24
+    r = np.random.default_rng(0)
+    trans = jnp.asarray(r.normal(size=(num_labels, num_labels)) * 0.5,
+                        jnp.float32)
+    targets = jnp.asarray(r.integers(0, num_labels, size=(b, s)), jnp.int32)
+    lo = jnp.full((b,), s, jnp.int32)
+    chunk = jnp.asarray(r.normal(size=(t_c, b, num_labels)), jnp.float32)
+    pre = streaming_targets(trans, targets, num_labels, lo)
+
+    st0 = streaming_init(b, num_labels, s)
+
+    def score_chain(chunk_in, st_in):
+        def body(carry, _):
+            st, ck = carry
+            st = streaming_update(trans, st, ck, stream_targets=pre)
+            # thread the chunk through the state so nothing hoists
+            ck = ck + 0.0 * st.alpha_full[0, 0]
+            return (st, ck), None
+        (st, ck), _ = jax.lax.scan(body, (st_in, chunk_in), None,
+                                   length=CHAIN_K)
+        return st, ck
+
+    f = jax.jit(score_chain)
+    _mark(f"compile streaming scores N={num_labels}")
+    f(chunk, st0)
+    t_scores = _best(
+        lambda ck: f(ck, st0), chunk, lambda _, out: out[1], fetch_s
+    )
+
+    vst0 = streaming_viterbi_init(b, num_labels)
+
+    def vit_chain(chunk_in, st_in):
+        def body(carry, _):
+            st, ck = carry
+            st, (bp, valid) = streaming_viterbi_update(trans, st, ck)
+            ck = ck + 0.0 * st.delta[0, 0]
+            return (st, ck), None
+        (st, ck), _ = jax.lax.scan(body, (st_in, chunk_in), None,
+                                   length=CHAIN_K)
+        return st, ck
+
+    v = jax.jit(vit_chain)
+    _mark(f"compile streaming viterbi N={num_labels}")
+    v(chunk, vst0)
+    t_vit = _best(
+        lambda ck: v(ck, vst0), chunk, lambda _, out: out[1], fetch_s
+    )
+    print(json.dumps({
+        "row": "streaming",
+        "shape": {"B": b, "chunk": t_c, "S": s, "N": num_labels},
+        "scores_update_ms_per_chunk": round(t_scores, 3),
+        "viterbi_update_ms_per_chunk": round(t_vit, 3),
+        "scores_us_per_frame": round(t_scores / t_c * 1e3, 1),
+        "note": "stream_targets precomputed; chunk threaded in-graph",
+        "backend": jax.default_backend(),
+    }), flush=True)
+
+
+def bench_bigvocab_decode(fetch_s):
+    """Decode + n-best at wordpiece scale (N=10k, chunked max-plus)."""
+    from torch_asg_tpu import viterbi_decode, viterbi_nbest
+
+    b, t, n, k = 8, 100, 10_000, 4
+    r = np.random.default_rng(1)
+    inputs = jnp.asarray(r.normal(size=(t, b, n)), jnp.float32)
+    trans = jnp.asarray(r.normal(size=(n, n)) * 0.1, jnp.float32)
+    li = jnp.full((b,), t, jnp.int32)
+
+    def dec_chain(tr, inp):
+        def body(inp_c, _):
+            res = viterbi_decode(tr, inp_c, li, impl="xla")
+            s = res.scores.sum()
+            return inp_c + 0.0 * s, s
+        inp_o, ss = jax.lax.scan(body, inp, None, length=2)
+        return ss[-1], inp_o
+
+    f = jax.jit(dec_chain)
+    _mark("compile 10k decode")
+    f(trans, inputs)
+    t_dec = _best(lambda i: f(trans, i), inputs, lambda _, o: o[1],
+                  fetch_s, iters=3, repeats=2) * CHAIN_K / 2
+
+    def nb_chain(tr, inp):
+        def body(inp_c, _):
+            res = viterbi_nbest(tr, inp_c, k, li)
+            s = res.scores.sum()
+            return inp_c + 0.0 * s, s
+        inp_o, ss = jax.lax.scan(body, inp, None, length=2)
+        return ss[-1], inp_o
+
+    g = jax.jit(nb_chain)
+    _mark("compile 10k nbest")
+    g(trans, inputs)
+    t_nb = _best(lambda i: g(trans, i), inputs, lambda _, o: o[1],
+                 fetch_s, iters=3, repeats=2) * CHAIN_K / 2
+    print(json.dumps({
+        "row": "bigvocab_decode",
+        "shape": {"B": b, "T": t, "N": n, "k": k},
+        "viterbi_decode_ms": round(t_dec, 1),
+        "viterbi_nbest_ms": round(t_nb, 1),
+        "us_per_frame_decode": round(t_dec / t * 1e3, 1),
+        "backend": jax.default_backend(),
+    }), flush=True)
+
+
+def bench_wfsa(fetch_s):
+    """Lexicon-scale acceptor scoring/decoding (E ~ 5k arcs)."""
+    from torch_asg_tpu.ops.wfsa import lexicon_wfsa, wfsa_score, wfsa_viterbi
+
+    n, words_count, b, t = 30, 800, 8, 200
+    r = np.random.default_rng(2)
+    trans = jnp.asarray(r.normal(size=(n, n)) * 0.5, jnp.float32)
+    words = [
+        r.integers(0, n, size=int(r.integers(2, 5))).astype(np.int32)
+        for _ in range(words_count)
+    ]
+    # loop=False: the continuous-recognition loop adds words^2 arcs (640k
+    # here), a different graph scale; the VERDICT row asks for E ~ 5k
+    fsa = lexicon_wfsa(trans, words, loop=False)
+    inputs = jnp.asarray(r.normal(size=(t, b, n)), jnp.float32)
+    li = jnp.full((b,), t, jnp.int32)
+    num_arcs = int(fsa.src.shape[0])
+
+    def score_chain(inp):
+        def body(inp_c, _):
+            s = wfsa_score(fsa, inp_c, li).sum()
+            return inp_c + 0.0 * s, s
+        inp_o, ss = jax.lax.scan(body, inp, None, length=CHAIN_K)
+        return ss[-1], inp_o
+
+    f = jax.jit(score_chain)
+    _mark(f"compile wfsa score (E={num_arcs})")
+    f(inputs)
+    t_score = _best(f, inputs, lambda _, o: o[1], fetch_s)
+
+    def vit_chain(inp):
+        def body(inp_c, _):
+            res = wfsa_viterbi(fsa, inp_c, li)
+            s = res.scores.sum()
+            return inp_c + 0.0 * s, s
+        inp_o, ss = jax.lax.scan(body, inp, None, length=2)
+        return ss[-1], inp_o
+
+    g = jax.jit(vit_chain)
+    _mark("compile wfsa viterbi")
+    g(inputs)
+    t_vit = _best(g, inputs, lambda _, o: o[1], fetch_s,
+                  iters=6, repeats=2) * CHAIN_K / 2
+    print(json.dumps({
+        "row": "wfsa_lexicon",
+        "shape": {"B": b, "T": t, "N": n, "states": int(fsa.num_states),
+                  "arcs": num_arcs, "words": words_count, "loop": False},
+        "wfsa_score_ms": round(t_score, 2),
+        "wfsa_viterbi_ms": round(t_vit, 2),
+        "backend": jax.default_backend(),
+    }), flush=True)
+
+
+def main():
+    from torch_asg_tpu.utils.profiling import fetch_overhead_s
+
+    print("backend:", jax.default_backend(), file=sys.stderr, flush=True)
+    fetch_s = fetch_overhead_s()
+    bench_streaming(30, fetch_s)
+    bench_streaming(512, fetch_s)
+    bench_bigvocab_decode(fetch_s)
+    bench_wfsa(fetch_s)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,141 @@
+"""Round-3 experiment: on-chip profiler-trace decomposition of the fused
+fwd+bwd train step (VERDICT r2 next-round item 1).
+
+Captures a jax.profiler trace around chained fused train-step dispatches
+at the benchmark shape (B=64, T=1000, N=30), then parses the XSpace
+protobuf directly (tensorflow's xplane proto — no TensorBoard UI needed)
+and prints every device-timeline op >= 0.02 ms/step, so the ~0.15 ms the
+round-2 decomposition bucketed as "value_and_grad/jit glue" gets named
+stage by stage.
+
+Usage:  python scripts/exp_r3_trace.py [outdir]
+Writes: <outdir>/plugins/profile/... (raw trace) and prints the table.
+"""
+
+import sys
+import time as _time
+
+_T0 = _time.time()
+
+
+def _mark(label):
+    print(f"[trace {_time.time()-_T0:6.1f}s] {label}", file=sys.stderr, flush=True)
+
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B, T, S, N = 64, 1000, 50, 30
+CHAIN_K = 8
+
+
+def make_case(dtype=jnp.float32):
+    r = np.random.default_rng(0)
+    inputs = jnp.asarray(r.normal(size=(T, B, N)), dtype)
+    trans = jnp.asarray(r.normal(size=(N, N)) * 0.5, dtype)
+    targets = jnp.asarray(r.integers(0, N, size=(B, S)), jnp.int32)
+    li = jnp.asarray(r.integers(T // 2, T + 1, size=(B,)), jnp.int32)
+    lo = jnp.asarray(r.integers(S // 2, S + 1, size=(B,)), jnp.int32)
+    return trans, inputs, targets, li, lo
+
+
+def build_chain(impl="fused"):
+    from torch_asg_tpu import asg_loss
+
+    trans, inputs, targets, li, lo = make_case()
+
+    def vg(tr, inp):
+        return jax.value_and_grad(
+            lambda a, b: asg_loss(a, b, targets, li, lo,
+                                  reduction="mean", impl=impl),
+            argnums=(0, 1),
+        )(tr, inp)
+
+    def chain(inp):
+        def body(inp_c, _):
+            loss, (gt, gi) = vg(trans, inp_c)
+            return inp_c + 0.0 * gi, loss
+        inp_o, losses = jax.lax.scan(body, inp, None, length=CHAIN_K)
+        return losses[-1], inp_o
+
+    return jax.jit(chain), inputs
+
+
+def collect_device_events(trace_dir):
+    """Aggregate (name -> total_ps, count) from every device XPlane in the
+    captured XSpace protos under trace_dir."""
+    import glob
+    import os
+
+    from tensorflow.core.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(
+        os.path.join(trace_dir, "plugins", "profile", "*", "*.xplane.pb")
+    )
+    if not paths:
+        return None, []
+    agg = {}
+    plane_names = []
+    for p in paths:
+        xspace = xplane_pb2.XSpace()
+        with open(p, "rb") as f:
+            xspace.ParseFromString(f.read())
+        for plane in xspace.planes:
+            plane_names.append(plane.name)
+            low = plane.name.lower()
+            if not ("tpu" in low or "device" in low or "/device:" in low):
+                continue
+            if "host" in low and "tpu" not in low:
+                continue
+            ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+            for line in plane.lines:
+                for ev in line.events:
+                    name = ev_meta.get(ev.metadata_id, f"id{ev.metadata_id}")
+                    tot, cnt = agg.get(name, (0, 0))
+                    agg[name] = (tot + ev.duration_ps, cnt + 1)
+    return agg, plane_names
+
+
+def main():
+    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/asg_trace_r3"
+    _mark("build + compile fused chain")
+    step, inputs = build_chain("fused")
+    out = step(inputs)  # compile
+    float(out[0])
+    _mark("warm steps")
+    cur = inputs
+    for _ in range(2):
+        loss, cur = step(cur)
+    float(loss)
+
+    n_dispatch = 3  # 3 dispatches x CHAIN_K steps inside the trace window
+    _mark(f"trace {n_dispatch} dispatches x {CHAIN_K} steps")
+    with jax.profiler.trace(outdir):
+        cur = inputs
+        for _ in range(n_dispatch):
+            loss, cur = step(cur)
+        float(loss)  # force completion inside the window
+    _mark("parse xspace")
+    agg, planes = collect_device_events(outdir)
+    print("planes seen:", planes)
+    if not agg:
+        print("NO DEVICE EVENTS CAPTURED — profiler does not reach the "
+              "remote device timeline on this platform")
+        return 1
+    steps = n_dispatch * CHAIN_K
+    rows = sorted(agg.items(), key=lambda kv: -kv[1][0])
+    print(f"{'ms/step':>9} {'count':>7} name")
+    total = 0.0
+    for name, (ps, cnt) in rows:
+        ms_step = ps / 1e9 / steps
+        total += ms_step
+        if ms_step >= 0.02:
+            print(f"{ms_step:9.3f} {cnt:7d} {name[:110]}")
+    print(f"sum of listed+unlisted events: {total:.3f} ms/step "
+          f"(overlap possible; wall-clock is the bench number)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

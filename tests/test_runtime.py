@@ -337,3 +337,38 @@ def test_pack_frames_and_cmvn_reject_flat_utterance():
         pack_frames([np.zeros(16, np.float32)])
     with pytest.raises(ValueError, match="expected"):
         cmvn([np.zeros(16, np.float32)])
+
+
+def test_prefetcher_close_unblocks_blocked_consumer():
+    """close() from another thread must wake a consumer blocked in
+    __next__ on an empty queue (the worker enqueues nothing once _stop
+    is set, so an unbounded get() would hang that consumer forever)."""
+    import threading
+    import time
+
+    from torch_asg_tpu.runtime import BatchPrefetcher
+
+    gate = threading.Event()
+
+    def slow_prepare(x):
+        gate.wait(timeout=10.0)  # hold the queue empty until close()
+        return x
+
+    pf = BatchPrefetcher(range(3), slow_prepare, depth=1)
+    result = {}
+
+    def consume():
+        try:
+            next(pf)
+            result["outcome"] = "item"
+        except StopIteration:
+            result["outcome"] = "stopped"
+
+    consumer = threading.Thread(target=consume)
+    consumer.start()
+    time.sleep(0.3)  # consumer is now blocked in __next__
+    pf.close()
+    gate.set()  # release the worker so join() can finish
+    consumer.join(timeout=5.0)
+    assert not consumer.is_alive(), "consumer stayed blocked after close()"
+    assert result["outcome"] == "stopped"

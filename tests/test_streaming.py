@@ -435,3 +435,70 @@ def test_streaming_update_jits(rng):
     full, _ = streaming_scores(st, target_lengths)
     want = fcc_score(transition, inputs, jnp.full((B,), 9, jnp.int32))
     np.testing.assert_allclose(full, want, rtol=1e-12)
+
+
+def test_streaming_grads_finite_on_dead_band_rows(rng):
+    """Differentiating the streaming prefix loss must stay NaN-free.
+
+    Early in a stream most of the (B, S) aligned band is unreachable
+    (-inf on both logaddexp branches); jnp.logaddexp's VJP emits NaN
+    there, which is why streaming_update uses semiring.logaddexp.  The
+    prefix loss full - aligned is an advertised differentiable surface
+    (distillation / online fine-tuning), so pin grad finiteness through
+    init -> update -> scores with dead rows present."""
+    t_total = 6  # < S + margin: aligned band only partially consumed
+    transition, inputs, targets, target_lengths = _problem(rng, t_total)
+
+    def prefix_loss(transition, inputs):
+        st = streaming_init(B, N, S, dtype=jnp.float64)
+        st = streaming_update(
+            transition, st, inputs[:3], targets,
+            target_lengths=target_lengths,
+        )
+        st = streaming_update(
+            transition, st, inputs[3:], targets,
+            target_lengths=target_lengths,
+        )
+        full, aligned = streaming_scores(st, target_lengths)
+        # aligned can be -inf for elements whose prefix cannot yet cover
+        # the target; mask those to keep the *loss* finite while still
+        # differentiating through every consumed lattice cell
+        loss = jnp.where(jnp.isfinite(aligned), full - aligned, full)
+        return loss.sum()
+
+    val, (g_t, g_i) = jax.value_and_grad(prefix_loss, argnums=(0, 1))(
+        transition, inputs
+    )
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(g_t)))
+    assert np.all(np.isfinite(np.asarray(g_i)))
+
+
+def test_streaming_targets_promotes_precompute_dtype(rng):
+    """A float64 transition with a forgotten dtype kwarg must not round
+    the precomputed exp-transition to float32 (silent parity loss)."""
+    transition, inputs, targets, target_lengths = _problem(rng, 8)
+    pre = streaming_targets(transition, targets, N, target_lengths)
+    assert pre.e_t.dtype == jnp.float64
+
+    st = streaming_init(B, N, S, dtype=jnp.float64)
+    for off in range(0, 8, 4):
+        st = streaming_update(
+            transition, st, inputs[off : off + 4], stream_targets=pre,
+        )
+    full, _ = streaming_scores(st, target_lengths)
+    want = fcc_score(transition, inputs, jnp.full((B,), 8, jnp.int32))
+    np.testing.assert_allclose(full, want, rtol=1e-12)
+
+
+def test_streaming_update_rejects_downcasting_precompute(rng):
+    """An explicitly float32 precompute feeding a float64 state raises
+    instead of silently degrading the stream's parity."""
+    transition, inputs, targets, target_lengths = _problem(rng, 4)
+    pre = streaming_targets(
+        transition.astype(jnp.float32), targets, N, target_lengths,
+        dtype=jnp.float32,
+    )
+    st = streaming_init(B, N, S, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="precomputed at"):
+        streaming_update(transition, st, inputs[:4], stream_targets=pre)

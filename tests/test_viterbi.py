@@ -285,3 +285,71 @@ def test_alignment_segments(rng):
         for s in range(1, K):
             assert starts[b, s] == ends[b, s - 1] + 1
         assert ends[b, K - 1] == L - 1
+
+
+def test_viterbi_pallas_kernel_matches_xla(rng):
+    """The rotation-trick Pallas decoder is bit-identical to the XLA
+    decoder — scores, paths, AND raw backpointers (the shared backtrace
+    makes paths follow from backpointers, so pin the forward outputs
+    directly too), on ragged lengths."""
+    from torch_asg_tpu.ops.pallas.viterbi_kernels import (
+        viterbi_forward_pallas,
+    )
+
+    t_total, num_batches, num_labels = 17, 5, 7
+    inputs = jnp.asarray(
+        rng.normal(size=(t_total, num_batches, num_labels)), jnp.float64
+    )
+    trans = jnp.asarray(
+        rng.normal(size=(num_labels, num_labels)) * 0.5, jnp.float64
+    )
+    li = jnp.asarray([17, 12, 1, 9, 17], jnp.int32)
+
+    want = viterbi_decode(trans, inputs, li, impl="xla")
+    got = viterbi_decode(trans, inputs, li, impl="pallas")
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-12)
+    np.testing.assert_array_equal(got.paths, want.paths)
+
+    # forward outputs directly: end rows and the full backpointer tensor
+    from torch_asg_tpu.ops.viterbi import _maxplus_argmax
+    from torch_asg_tpu.utils.lengths import mask_emissions
+
+    d_end, bp = viterbi_forward_pallas(trans, inputs, li)
+    inputs_m = mask_emissions(inputs, li)
+    d = inputs_m[0]
+    d_end_ref = d
+    for t in range(1, t_total):
+        best, bp_ref = _maxplus_argmax(trans, d)
+        d = inputs_m[t] + best
+        d_end_ref = jnp.where((li - 1 == t)[:, None], d, d_end_ref)
+        np.testing.assert_array_equal(np.asarray(bp[t]), np.asarray(bp_ref))
+    np.testing.assert_allclose(
+        np.asarray(d_end), np.asarray(d_end_ref), rtol=1e-12
+    )
+
+
+def test_viterbi_pallas_exact_tie_breaking(rng):
+    """Exact ties resolve to the lowest source label in BOTH decoders
+    (zero transitions + duplicated emissions manufacture ties)."""
+    t_total, num_batches, num_labels = 9, 3, 5
+    base = rng.normal(size=(t_total, num_batches, 1))
+    inputs = jnp.asarray(
+        np.tile(base, (1, 1, num_labels)), jnp.float64
+    )  # every label ties at every frame
+    trans = jnp.zeros((num_labels, num_labels), jnp.float64)
+    want = viterbi_decode(trans, inputs, impl="xla")
+    got = viterbi_decode(trans, inputs, impl="pallas")
+    np.testing.assert_array_equal(got.paths, want.paths)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-12)
+
+
+def test_viterbi_pallas_width_budget_raises(rng):
+    from torch_asg_tpu.ops.pallas.viterbi_kernels import (
+        VITERBI_KERNEL_MAX_LABELS,
+    )
+
+    n = VITERBI_KERNEL_MAX_LABELS + 1
+    inputs = jnp.zeros((4, 2, n))
+    trans = jnp.zeros((n, n))
+    with pytest.raises(ValueError, match="pallas"):
+        viterbi_decode(trans, inputs, impl="pallas")

@@ -148,6 +148,7 @@ def asg_loss(
     reduction: str = "mean",
     impl: str = "auto",
     temperature: float = 1.0,
+    precision=None,
 ) -> jnp.ndarray:
     """ASG loss.
 
@@ -169,6 +170,13 @@ def asg_loss(
         ``doc/tech_report.tex:78-88``): loss_tau = tau * loss(T/tau, I/tau).
         tau = 1 is the standard log semiring; tau -> 0 approaches the
         tropical (Viterbi) semiring.
+      precision: MXU precision for the exp-domain chain matmuls of the
+        'fused'/'pallas'/'matmul' paths; None = the library default (one
+        bf16 pass — ~2e-5 relative score drift at T=1000, re-gated against
+        HIGHEST every bench round).  Pass ``jax.lax.Precision.HIGHEST``
+        for bit-conservative fp32 chains without reaching for the
+        ``semiring.strict_chain_precision`` context manager.  Applies at
+        trace time (on-TPU Mosaic supports DEFAULT and HIGHEST only).
 
     Numeric precondition (fp32 exp-domain paths: 'fused', 'pallas',
     'matmul'): the transition-matrix SPREAD max(T) - min(finite T) must
@@ -195,9 +203,17 @@ def asg_loss(
         inv = 1.0 / temperature
         transition = transition * inv
         inputs = inputs * inv
-    full, aligned = scores_fn(
-        transition, inputs, targets, input_lengths, target_lengths
-    )
+    if precision is not None:
+        from .ops.semiring import strict_chain_precision
+
+        with strict_chain_precision(precision):
+            full, aligned = scores_fn(
+                transition, inputs, targets, input_lengths, target_lengths
+            )
+    else:
+        full, aligned = scores_fn(
+            transition, inputs, targets, input_lengths, target_lengths
+        )
     out = full - aligned
     if temperature != 1.0:
         out = out * temperature
@@ -212,19 +228,36 @@ def asg_scores(
     target_lengths: Optional[jnp.ndarray] = None,
     *,
     impl: str = "auto",
+    temperature: float = 1.0,
 ):
     """(full_scores, aligned_scores) per batch element, shape (B,) each.
 
     Mirrors the tuple the reference's streamed forward returns
     (``streamlined_fast_gpu.cpp:227-229``); useful for lattice rescoring.
+
+    ``temperature`` applies the same generalized-semiring scaling as
+    ``asg_loss`` (tech_report.tex:78-88): score_tau = tau * score(T/tau,
+    I/tau), so ``asg_loss(..., temperature=tau)`` == full - aligned here.
     """
     inputs, targets, input_lengths, target_lengths = _prep(
         inputs, targets, input_lengths, target_lengths
     )
     dt = jnp.promote_types(inputs.dtype, transition.dtype)
     inputs, transition = inputs.astype(dt), transition.astype(dt)
+    if temperature <= 0.0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
     scores_fn = _resolve_impl(impl, inputs.shape[2], targets.shape[1])
-    return scores_fn(transition, inputs, targets, input_lengths, target_lengths)
+    if temperature != 1.0:
+        inv = 1.0 / temperature
+        transition = transition * inv
+        inputs = inputs * inv
+    full, aligned = scores_fn(
+        transition, inputs, targets, input_lengths, target_lengths
+    )
+    if temperature != 1.0:
+        full = full * temperature
+        aligned = aligned * temperature
+    return full, aligned
 
 
 @jax.tree_util.register_dataclass
@@ -268,8 +301,16 @@ class ASGLoss:
         )
 
     def __call__(self, inputs, targets, input_lengths=None, target_lengths=None):
-        out = asg_loss(
-            self.transition,
+        transition = self.transition
+        if self.forward_only:
+            # stop gradients on the INPUTS so the custom_vjp primal (the
+            # store-less kernel) is selected even under an enclosing
+            # jax.grad; an output-side stop would still trace the
+            # residual-storing fwd rule (see compat.ASGLoss.forward).
+            transition = jax.lax.stop_gradient(transition)
+            inputs = jax.lax.stop_gradient(inputs)
+        return asg_loss(
+            transition,
             inputs,
             targets,
             input_lengths,
@@ -278,6 +319,3 @@ class ASGLoss:
             impl=self.impl,
             temperature=self.temperature,
         )
-        if self.forward_only:
-            out = jax.lax.stop_gradient(out)
-        return out

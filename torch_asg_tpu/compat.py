@@ -73,20 +73,19 @@ class ASGLoss:
         *,
         transition=None,
     ):
-        out = asg_loss(
-            self.transition if transition is None else transition,
-            inputs,
-            targets,
-            input_lengths,
-            target_lengths,
-            reduction=self.reduction,
-            impl=self.impl,
-        )
+        trans = self.transition if transition is None else transition
         if self.forward_only or not self.training:
             # score-only dispatch (reference: forward_only or not training,
-            # ``torch_asg/asg.py:129``): under stop_gradient nothing
+            # ``torch_asg/asg.py:129``): with gradients stopped nothing
             # differentiates through the loss, so the custom_vjp primal
             # (beta-only, no alpha/residual stores) is all that runs.
+            # stop_gradient goes on the INPUTS, not the output: under an
+            # enclosing jax.grad an output-side stop would still trace the
+            # custom_vjp fwd rule (the residual-storing kernel) and only
+            # discard its cotangent afterwards — input-side stopping keeps
+            # the whole call in the primal trace, so the store-less kernel
+            # is selected structurally (pinned by
+            # tests/test_fused.py::test_forward_only_lowers_to_storeless_kernel).
             # SEMANTIC DIFFERENCE vs torch: the reference ERRORS on
             # .backward() in this mode (no autograd graph exists); JAX has
             # no backward graph to omit, so jax.grad through an eval-mode
@@ -94,7 +93,16 @@ class ASGLoss:
             # construct with forward_only=False) before differentiating.
             import jax
 
-            out = jax.lax.stop_gradient(out)
-        return out
+            trans = jax.lax.stop_gradient(trans)
+            inputs = jax.lax.stop_gradient(inputs)
+        return asg_loss(
+            trans,
+            inputs,
+            targets,
+            input_lengths,
+            target_lengths,
+            reduction=self.reduction,
+            impl=self.impl,
+        )
 
     __call__ = forward

@@ -171,14 +171,22 @@ def _exp_mats(transition, dtype):
 
 
 def _lse_mm(x, mat, c):
-    """lse_j(x[b, j] + log mat[j, i]) + c, -inf-safe, no N^2 per-batch."""
+    """lse_j(x[b, j] + log mat[j, i]) + c, -inf-safe in primal AND grad.
+
+    Dead rows (s == 0) stay -inf; the double-where keeps their VJP
+    finite (a bare ``jnp.log(s)`` backpropagates 0 * (1/0) = NaN).  The
+    custom_vjp loss paths never differentiate through here, but streaming
+    prefix losses and autodiff-through users do.
+    """
     m = jnp.max(x, axis=1, keepdims=True)
     m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
     s = jnp.dot(
         jnp.exp(x - m_safe), mat,
         preferred_element_type=x.dtype, precision=chain_precision(),
     )
-    return jnp.log(s) + m_safe + c  # log(0) = -inf keeps dead rows dead
+    alive = s > 0
+    out = jnp.where(alive, jnp.log(jnp.where(alive, s, 1.0)), NEG_INF)
+    return out + m_safe + c
 
 
 def _alpha_scan_mm(transition, inputs_m):

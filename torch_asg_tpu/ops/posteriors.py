@@ -30,22 +30,40 @@ from ..utils.lengths import mask_emissions
 _MM_MIN_LABELS = 512
 
 
+def _check_temperature(temperature: float):
+    if temperature <= 0.0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+
+
 def fcc_posteriors(
     transition: jnp.ndarray,
     inputs: jnp.ndarray,
     input_lengths: Optional[jnp.ndarray] = None,
+    *,
+    temperature: float = 1.0,
 ) -> jnp.ndarray:
     """(T, B, N) per-frame label posteriors under the full lattice.
 
     Rows sum to 1 on valid frames and are exactly 0 past each utterance's
     length.  Equals ``jax.grad(fcc_score.sum(), inputs)``.
+
+    ``temperature`` softens (tau > 1) or sharpens (tau < 1) the marginals
+    by scoring the lattice at (T/tau, I/tau) — the generalized-semiring
+    temperature of the reference's tech report (tech_report.tex:78-88).
+    The primary distillation knob: tau -> 0 approaches the Viterbi
+    one-hot occupancy of the best path.
     """
+    _check_temperature(temperature)
     t_total, num_batches, _ = inputs.shape
     if input_lengths is None:
         input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
     if inputs.dtype in (jnp.bfloat16, jnp.float16):
         inputs = inputs.astype(jnp.float32)
     transition = transition.astype(inputs.dtype)
+    if temperature != 1.0:
+        inv = 1.0 / temperature
+        transition = transition * inv
+        inputs = inputs * inv
     inputs_m = mask_emissions(inputs, input_lengths)
     if inputs.shape[2] > _MM_MIN_LABELS:
         alpha = _alpha_scan_mm(transition, inputs_m)
@@ -62,13 +80,20 @@ def fac_posteriors(
     targets: jnp.ndarray,
     input_lengths: Optional[jnp.ndarray] = None,
     target_lengths: Optional[jnp.ndarray] = None,
+    *,
+    temperature: float = 1.0,
 ) -> jnp.ndarray:
     """(T, B, S) soft alignment: P(frame t emits target slot s | targets).
 
     The expected segmentation under the force-aligned lattice — rows sum
     to 1 on valid frames; 0 past the lengths.  Equals the aligned-domain
     gradient of ``fac_score``.
+
+    ``temperature`` softens/sharpens the alignment like
+    ``fcc_posteriors``; tau -> 0 approaches the one-hot occupancy of the
+    single best monotone alignment.
     """
+    _check_temperature(temperature)
     t_total, num_batches, _ = inputs.shape
     s_total = targets.shape[1]
     if input_lengths is None:
@@ -78,6 +103,10 @@ def fac_posteriors(
     if inputs.dtype in (jnp.bfloat16, jnp.float16):
         inputs = inputs.astype(jnp.float32)
     transition = transition.astype(inputs.dtype)
+    if temperature != 1.0:
+        inv = 1.0 / temperature
+        transition = transition * inv
+        inputs = inputs * inv
     lat = make_aligned(transition, inputs, targets, input_lengths, target_lengths)
     alpha = _fac_alpha(lat)
     beta = _fac_beta(lat, input_lengths, target_lengths)

@@ -39,7 +39,7 @@ from jax import lax
 
 from .fac import gather_aligned_emissions, make_aligned, _shift_right_s
 from .fcc import _exp_mats, _lse_mm
-from .semiring import NEG_INF, logsumexp
+from .semiring import NEG_INF, logaddexp, logsumexp
 from .viterbi import (NBestResult, ViterbiResult, _maxplus_argmax,
                       _maxplus_topk)
 from ..utils.lengths import label_mask, time_mask
@@ -101,8 +101,15 @@ def streaming_targets(
     dtype=jnp.float32,
 ) -> StreamTargets:
     """Precompute the fixed target-side lattice rows (and the FCC step's
-    exp-transition matrix) for a stream."""
+    exp-transition matrix) for a stream.
+
+    The precompute dtype is promoted with the transition's own dtype so a
+    float64 stream keeps parity with the one-shot scorer even when the
+    caller forgets to pass ``dtype`` (the accumulation dtype of the state
+    built by ``streaming_init`` follows the same promotion rule there).
+    """
     num_batches, s_total = targets.shape
+    dtype = jnp.promote_types(transition.dtype, _accumulation_dtype(dtype))
     if target_lengths is None:
         target_lengths = jnp.full((num_batches,), s_total, jnp.int32)
     dummy = jnp.zeros((1, num_batches, num_labels), dtype)
@@ -171,6 +178,17 @@ def streaming_update(
         aligned_inputs = lat.inputs
         self_trans, next_trans = lat.self_trans, lat.next_trans
     if stream_targets is not None and stream_targets.e_t is not None:
+        if jnp.promote_types(stream_targets.e_t.dtype, chunk.dtype) != (
+            stream_targets.e_t.dtype
+        ):
+            raise ValueError(
+                f"stream_targets was precomputed at "
+                f"{stream_targets.e_t.dtype} but the streaming state "
+                f"accumulates at {chunk.dtype}; rebuild with "
+                f"streaming_targets(..., dtype={chunk.dtype}) or the "
+                f"already-rounded exp-transition silently loses parity "
+                f"with the one-shot scorer"
+            )
         e_t = stream_targets.e_t.astype(chunk.dtype)
         c = stream_targets.c.astype(chunk.dtype)
     else:
@@ -191,7 +209,12 @@ def streaming_update(
         # FAC: 2-way band step; first frame seeds at s = 0 only
         hori = aa + self_trans
         diag = _shift_right_s(aa + next_trans)
-        aa_new = ai_t + jnp.logaddexp(hori, diag)
+        # semiring.logaddexp, not jnp.logaddexp: dead band rows (alpha
+        # entries beyond the consumed prefix) are -inf on BOTH sides, and
+        # jnp.logaddexp's VJP emits NaN there — the prefix loss
+        # full - aligned is a differentiable surface (distillation /
+        # online fine-tuning), so grads must stay finite.
+        aa_new = ai_t + logaddexp(hori, diag)
         seed = jnp.where(
             jnp.arange(s_total)[None, :] == 0, ai_t, NEG_INF
         )

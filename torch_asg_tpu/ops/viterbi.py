@@ -93,37 +93,10 @@ class AlignmentResult(NamedTuple):
     labels: jnp.ndarray  # (T, B) int32 aligned labels targets[b, s_t], -1 at padding
 
 
-def viterbi_decode(
-    transition: jnp.ndarray,
-    inputs: jnp.ndarray,
-    input_lengths: Optional[jnp.ndarray] = None,
-) -> ViterbiResult:
-    """Best label path per batch element.
-
-    transition: (N, N) [i, j] = score j -> i; inputs: (T, B, N).
-    """
-    t_total, num_batches, num_labels = inputs.shape
-    if input_lengths is None:
-        input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
-    # same boundary upcast as the loss path (asg._prep): path scores
-    # accumulate over T steps, too long for half-precision mantissas
-    if inputs.dtype in (jnp.bfloat16, jnp.float16):
-        inputs = inputs.astype(jnp.float32)
-    transition = transition.astype(inputs.dtype)
-    inputs_m = mask_emissions(inputs, input_lengths)
-
-    def fstep(carry, xs):
-        d_prev, d_end = carry
-        t, i_t = xs
-        best, bp = _maxplus_argmax(transition, d_prev)
-        d = i_t + best
-        # online readout at each utterance's true end (no stored delta)
-        d_end = jnp.where((input_lengths - 1 == t)[:, None], d, d_end)
-        return (d, d_end), bp
-
-    d0 = inputs_m[0]
-    ts_f = jnp.arange(1, t_total, dtype=input_lengths.dtype)
-    (_, d_end), backptr = lax.scan(fstep, (d0, d0), (ts_f, inputs_m[1:]))
+def _backtrace_1best(d_end, backptr, input_lengths, t_total) -> ViterbiResult:
+    """Shared backtrace: d_end (B, N) end rows, backptr (T-1, B, N) where
+    backptr[t-1] maps the label at frame t to the label at frame t-1."""
+    num_batches = d_end.shape[0]
     scores = jnp.max(d_end, axis=1)
     final_labels = jnp.argmax(d_end, axis=1).astype(jnp.int32)
 
@@ -148,6 +121,78 @@ def viterbi_decode(
     _, labs = lax.scan(bstep, lab_last, (ts, backptr[::-1]))
     paths = jnp.concatenate([labs[::-1], lab_last[None]], axis=0)
     return ViterbiResult(scores, paths)
+
+
+def viterbi_decode(
+    transition: jnp.ndarray,
+    inputs: jnp.ndarray,
+    input_lengths: Optional[jnp.ndarray] = None,
+    *,
+    impl: str = "auto",
+) -> ViterbiResult:
+    """Best label path per batch element.
+
+    transition: (N, N) [i, j] = score j -> i; inputs: (T, B, N).
+    impl: 'pallas' (rotation-trick max-plus kernel; letter-scale
+    vocabularies), 'xla' (lax.scan with the (B, N, N) candidate step;
+    chunked past _CHUNK_MIN_LABELS), or 'auto' (pallas up to the kernel's
+    width budget, xla beyond).  Identical results including exact-tie
+    backpointers (pinned by tests/test_viterbi.py).
+    """
+    t_total, num_batches, num_labels = inputs.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
+    # same boundary upcast as the loss path (asg._prep): path scores
+    # accumulate over T steps, too long for half-precision mantissas
+    if inputs.dtype in (jnp.bfloat16, jnp.float16):
+        inputs = inputs.astype(jnp.float32)
+    transition = transition.astype(inputs.dtype)
+
+    from .pallas.common import use_interpret
+    from .pallas.viterbi_kernels import VITERBI_KERNEL_MAX_LABELS
+
+    if impl == "auto":
+        # the kernel wins on the real TPU (measured, scripts/exp_r3_vit.py);
+        # off-TPU interpret mode would only slow the oracle path down
+        impl = (
+            "pallas"
+            if num_labels <= VITERBI_KERNEL_MAX_LABELS and not use_interpret()
+            else "xla"
+        )
+    if impl == "pallas":
+        if num_labels > VITERBI_KERNEL_MAX_LABELS:
+            raise ValueError(
+                f"impl='pallas' unrolls the rotation loop num_labels times "
+                f"per frame and supports num_labels <= "
+                f"{VITERBI_KERNEL_MAX_LABELS}; got {num_labels}.  Use "
+                f"impl='xla' (chunked candidate tensor) for wordpiece-scale "
+                f"vocabularies."
+            )
+        from .pallas.viterbi_kernels import viterbi_forward_pallas
+
+        d_end, bp = viterbi_forward_pallas(transition, inputs, input_lengths)
+        return _backtrace_1best(
+            d_end, bp[1:], input_lengths, t_total
+        )
+    if impl != "xla":
+        raise ValueError(
+            f"unknown impl {impl!r}; expected 'auto', 'pallas', or 'xla'"
+        )
+    inputs_m = mask_emissions(inputs, input_lengths)
+
+    def fstep(carry, xs):
+        d_prev, d_end = carry
+        t, i_t = xs
+        best, bp = _maxplus_argmax(transition, d_prev)
+        d = i_t + best
+        # online readout at each utterance's true end (no stored delta)
+        d_end = jnp.where((input_lengths - 1 == t)[:, None], d, d_end)
+        return (d, d_end), bp
+
+    d0 = inputs_m[0]
+    ts_f = jnp.arange(1, t_total, dtype=input_lengths.dtype)
+    (_, d_end), backptr = lax.scan(fstep, (d0, d0), (ts_f, inputs_m[1:]))
+    return _backtrace_1best(d_end, backptr, input_lengths, t_total)
 
 
 class SegmentsResult(NamedTuple):

@@ -127,11 +127,28 @@ def make_hybrid_mesh(
         # back silently, surface topology mismatches to the caller.
         from jax.experimental import mesh_utils
 
-        arr = mesh_utils.create_hybrid_device_mesh(
-            (n_local // inner, *inner_sizes) if inner_sizes else (n_local,),
-            ((jax.process_count(), *([1] * len(inner_sizes)))
-             if inner_sizes else (jax.process_count(),)),
-        )
+        try:
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (n_local // inner, *inner_sizes) if inner_sizes else (n_local,),
+                ((jax.process_count(), *([1] * len(inner_sizes)))
+                 if inner_sizes else (jax.process_count(),)),
+            )
+        except ValueError as e:
+            if "slices" not in str(e):
+                raise
+            # Non-TPU multi-process (CPU/gRPC — the simulated-multi-host
+            # test path): devices carry no slice topology, so group by
+            # process explicitly.  Same layout contract: the leading data
+            # axis is ordered process-major (crosses the slow network),
+            # inner axes stay within one process's devices.
+            devices = sorted(
+                jax.devices(), key=lambda d: (d.process_index, d.id)
+            )
+            arr = np.asarray(devices).reshape(
+                (jax.process_count() * (n_local // inner), *inner_sizes)
+                if inner_sizes
+                else (jax.device_count(),)
+            )
     else:
         # single host: every axis is ICI, a plain reshape is exact
         devices = np.asarray(jax.devices())

@@ -86,7 +86,17 @@ class BatchPrefetcher:
     def __next__(self):
         if self._stop.is_set() or self._exhausted:
             raise StopIteration
-        got = self._q.get()
+        # timed get that re-checks _stop: a close() from another thread
+        # sets _stop and enqueues nothing (the worker's _put_responsive
+        # no-ops once stopped), so an unbounded get() here would block
+        # that consumer forever
+        while True:
+            try:
+                got = self._q.get(timeout=0.1)
+                break
+            except queue.Empty:
+                if self._stop.is_set():
+                    raise StopIteration from None
         if got is _DONE:
             # keep raising on any further call (iterator protocol) —
             # there is exactly one _DONE sentinel in the queue
