@@ -22,6 +22,10 @@ def _mark(label):
     print(f"[trace {_time.time()-_T0:6.1f}s] {label}", file=sys.stderr, flush=True)
 
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

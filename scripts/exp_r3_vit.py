@@ -17,6 +17,10 @@ def _mark(s):
     print(f"[vit {_time.time()-_T0:6.1f}s] {s}", file=sys.stderr, flush=True)
 
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

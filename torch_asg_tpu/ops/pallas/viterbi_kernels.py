@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import (LANE, NEG_INF, SUBLANE, kernel_dtype, pad_axis,
                      round_up, use_interpret)
-from .asg_kernels import ASG_TIME_BLOCK, _const, _asc, _lane_pad
+from .asg_kernels import ASG_TIME_BLOCK, _const, _asc, _desc, _lane_pad
 
 # The rotation loop is statically unrolled N_real times per frame (x kb
 # frames per block); past this label count compile time and VMEM for the
@@ -172,3 +172,75 @@ def viterbi_forward_pallas(transition, inputs, input_lengths):
         dend[:num_batches, :num_labels],
         bp[:t_total, :num_batches, :],
     )
+
+
+def _bt_kernel(li_ref, fin_ref, bps_ref, path_ref, lab_c, *, kb, t_pad):
+    """Backtrace: walk the backpointers tail-to-head.
+
+    bps_ref holds the SHIFTED backpointers (frame t's block row is
+    bp[t + 1], the map from the label at t+1 to the label at t); frames
+    t >= L_b - 1 never read it (reset / padding), so the garbage row
+    shifted in at t = T - 1 is dead by construction.
+    """
+    k_blk = pl.program_id(0)
+
+    @pl.when(k_blk == 0)
+    def _():
+        lab_c[:] = jnp.zeros_like(lab_c)
+
+    li = li_ref[:]  # (b_pad, 1)
+    fin = fin_ref[:]  # (b_pad, 1)
+    lab = lab_c[:]
+    n_raw = bps_ref.shape[2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_raw), 1)
+    rows = []
+    base_t = (pl.num_programs(0) - 1 - k_blk) * kb
+    for r in range(kb - 1, -1, -1):  # descending within the block
+        t = base_t + r
+        # prev = bp[t + 1][b, lab]: lane-select + sum (gathers serialize
+        # on TPU; the one-hot reduce is the vectorized form)
+        hit = lane == jnp.maximum(lab, 0)
+        prev = jnp.sum(jnp.where(hit, bps_ref[r], 0), axis=1, keepdims=True)
+        lab = jnp.where(
+            li - 1 == t, fin, jnp.where(t < li - 1, prev, -1)
+        )
+        rows.append(lab)
+    lab_c[:] = lab
+    path_ref[:] = jnp.stack(rows[::-1], axis=0)  # back to ascending
+
+
+def viterbi_backtrace_pallas(final_labels, backptr, input_lengths):
+    """(T, B) int32 path from (T, B, N) backpointers — kernel-side twin of
+    ops.viterbi._backtrace_1best's scan (bit-identical outputs).
+
+    backptr[t] maps the label at frame t to the label at frame t-1
+    (the forward kernel's convention; frame 0 is identity, unused).
+    """
+    t_total, num_batches, n_raw = backptr.shape
+    kb = ASG_TIME_BLOCK
+    b_pad = round_up(max(num_batches, SUBLANE), SUBLANE)
+    t_pad = round_up(t_total, kb)
+    nb = t_pad // kb
+
+    # shift so block row r of frame t holds bp[t + 1]; the shifted-in tail
+    # rows are never read (t >= L - 1 is reset or padding)
+    bps = jnp.concatenate([backptr[1:], backptr[-1:]], axis=0)
+    bps = pad_axis(pad_axis(bps, b_pad, 1, 0), t_pad, 0, 0)
+    fin_col = pad_axis(final_labels.astype(jnp.int32), b_pad, 0, 0)[:, None]
+    li_col = pad_axis(input_lengths.astype(jnp.int32), b_pad, 0, 1)[:, None]
+
+    kern = functools.partial(_bt_kernel, kb=kb, t_pad=t_pad)
+    paths = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            _const((b_pad, 1)),
+            _const((b_pad, 1)),
+            _desc(kb, b_pad, n_raw, nb),
+        ],
+        out_specs=_desc(kb, b_pad, 1, nb),
+        out_shape=jax.ShapeDtypeStruct((t_pad, b_pad, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((b_pad, 1), jnp.int32)],
+        interpret=use_interpret(),
+    )(li_col, fin_col, bps)
+    return paths[:t_total, :num_batches, 0]

@@ -168,12 +168,18 @@ def viterbi_decode(
                 f"impl='xla' (chunked candidate tensor) for wordpiece-scale "
                 f"vocabularies."
             )
-        from .pallas.viterbi_kernels import viterbi_forward_pallas
+        from .pallas.viterbi_kernels import (
+            viterbi_backtrace_pallas, viterbi_forward_pallas,
+        )
 
         d_end, bp = viterbi_forward_pallas(transition, inputs, input_lengths)
-        return _backtrace_1best(
-            d_end, bp[1:], input_lengths, t_total
-        )
+        scores = jnp.max(d_end, axis=1)
+        final_labels = jnp.argmax(d_end, axis=1).astype(jnp.int32)
+        # kernel backtrace: the XLA T-step gather scan costs ~1.7 ms at the
+        # benchmark shape (73% of decode, scripts/exp_r3_vit.py) — the
+        # one-hot lane-select walk in VMEM replaces it
+        paths = viterbi_backtrace_pallas(final_labels, bp, input_lengths)
+        return ViterbiResult(scores, paths)
     if impl != "xla":
         raise ValueError(
             f"unknown impl {impl!r}; expected 'auto', 'pallas', or 'xla'"
