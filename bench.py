@@ -191,11 +191,18 @@ def measure_walk_ns(trans, inputs, targets, li, lo, fetch_s):
     from torch_asg_tpu.ops.pallas import asg_kernels as ak
     from torch_asg_tpu.utils.profiling import time_fn_chained
 
+    from torch_asg_tpu.ops.pallas.common import LANE, round_up
+
     lat, ip, ap, e, e_t, self_p, next_p, li_col, lo_col, c, dims = jax.jit(
         lambda tr, i: ak._prepare(tr, i, targets, li, lo)
     )(trans, inputs)
-    (_, _, num_labels, _, _, n_pad, s_pad) = dims
-    geom = (num_labels, n_pad, s_pad)
+    # static geometry (the jit-returned dims are traced scalars, which the
+    # kernel cannot capture as compile-time constants)
+    geom = (
+        N,
+        round_up(max(N, LANE), LANE),
+        round_up(max(S, LANE), LANE),
+    )
 
     def chain(e_, ip_, ap_):
         def body(e_c, _):
@@ -337,7 +344,10 @@ def main():
     def vit_chain(inp):
         def body(inp_c, _):
             res = viterbi_decode(trans, inp_c, li)
-            s = res.scores.sum()
+            # thread paths too: a scores-only chain lets XLA DCE the whole
+            # backtrace, and the round-2 "decode" number was silently
+            # forward-only because of exactly that (docs/PERF_R3.md §2)
+            s = res.scores.sum() + res.paths.sum().astype(res.scores.dtype)
             return inp_c + 0.0 * s, s
         inp_o, scores = jax.lax.scan(body, inp, None, length=CHAIN_K)
         return scores[-1], inp_o

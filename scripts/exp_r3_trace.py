@@ -67,38 +67,38 @@ def build_chain(impl="fused"):
 
 
 def collect_device_events(trace_dir):
-    """Aggregate (name -> total_ps, count) from every device XPlane in the
-    captured XSpace protos under trace_dir."""
+    """Aggregate (name -> total_us, count) of device-timeline events from
+    the captured Chrome-format trace (vm.trace.json.gz); also returns the
+    per-event args keyed by name for shape/bytes detail."""
     import glob
+    import gzip
+    import json
     import os
 
-    from tensorflow.core.profiler.protobuf import xplane_pb2
-
     paths = glob.glob(
-        os.path.join(trace_dir, "plugins", "profile", "*", "*.xplane.pb")
+        os.path.join(trace_dir, "plugins", "profile", "*", "*.trace.json.gz")
     )
     if not paths:
-        return None, []
+        return None, None
     agg = {}
-    plane_names = []
+    details = {}
     for p in paths:
-        xspace = xplane_pb2.XSpace()
-        with open(p, "rb") as f:
-            xspace.ParseFromString(f.read())
-        for plane in xspace.planes:
-            plane_names.append(plane.name)
-            low = plane.name.lower()
-            if not ("tpu" in low or "device" in low or "/device:" in low):
-                continue
-            if "host" in low and "tpu" not in low:
-                continue
-            ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
-            for line in plane.lines:
-                for ev in line.events:
-                    name = ev_meta.get(ev.metadata_id, f"id{ev.metadata_id}")
-                    tot, cnt = agg.get(name, (0, 0))
-                    agg[name] = (tot + ev.duration_ps, cnt + 1)
-    return agg, plane_names
+        d = json.load(gzip.open(p))
+        evs = d.get("traceEvents", [])
+        device_pids = {
+            e["pid"]
+            for e in evs
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+            and "TPU" in str(e.get("args", {}).get("name", ""))
+        }
+        for e in evs:
+            if e.get("ph") == "X" and e.get("pid") in device_pids:
+                name = e["name"]
+                tot, cnt = agg.get(name, (0.0, 0))
+                agg[name] = (tot + e.get("dur", 0), cnt + 1)
+                if name not in details:
+                    details[name] = e.get("args", {})
+    return agg, details
 
 
 def main():
@@ -120,24 +120,27 @@ def main():
         for _ in range(n_dispatch):
             loss, cur = step(cur)
         float(loss)  # force completion inside the window
-    _mark("parse xspace")
-    agg, planes = collect_device_events(outdir)
-    print("planes seen:", planes)
+    _mark("parse trace")
+    agg, details = collect_device_events(outdir)
     if not agg:
         print("NO DEVICE EVENTS CAPTURED — profiler does not reach the "
               "remote device timeline on this platform")
         return 1
     steps = n_dispatch * CHAIN_K
     rows = sorted(agg.items(), key=lambda kv: -kv[1][0])
-    print(f"{'ms/step':>9} {'count':>7} name")
+    print(f"{'us/step':>9} {'count':>7} name  [long_name]")
     total = 0.0
-    for name, (ps, cnt) in rows:
-        ms_step = ps / 1e9 / steps
-        total += ms_step
-        if ms_step >= 0.02:
-            print(f"{ms_step:9.3f} {cnt:7d} {name[:110]}")
-    print(f"sum of listed+unlisted events: {total:.3f} ms/step "
-          f"(overlap possible; wall-clock is the bench number)")
+    skip = {"jit_chain", "while"}  # container events double-count children
+    for name, (us, cnt) in rows:
+        if any(name.startswith(s) for s in skip) or name in ("0", "1", "2"):
+            continue
+        us_step = us / steps
+        total += us_step
+        if us_step >= 1.0:
+            long = str(details.get(name, {}).get("long_name", ""))[:90]
+            print(f"{us_step:9.1f} {cnt:7d} {name[:40]}  {long}")
+    print(f"sum of leaf events: {total:.1f} us/step (TPU timeline is "
+          f"serial; compare against the bench wall-clock)")
     return 0
 
 
