@@ -83,7 +83,10 @@ def main():
 
     print("backend:", jax.default_backend(), flush=True)
     fetch_s = fetch_overhead_s()
+    want = sys.argv[1] if len(sys.argv) > 1 else None
     for label, b, t, n in SHAPES:
+        if want and want not in label:
+            continue
         measure(label, b, t, n, fetch_s)
     return 0
 
