@@ -39,14 +39,20 @@ import numpy as np
 CHAIN_K = 8
 
 
-def _best(fn, x0, feedback, fetch_s, iters=12, repeats=3):
+def _best(fn, x0, feedback, fetch_s, iters=12, repeats=3, steps=CHAIN_K):
     from torch_asg_tpu.utils.profiling import time_fn_chained
 
     return min(
         time_fn_chained(fn, feedback, x0, warmup=2, iters=iters,
                         fetch_s=fetch_s)
         for _ in range(repeats)
-    ) * 1e3 / CHAIN_K
+    ) * 1e3 / steps
+
+
+STREAM_CHAIN = 512  # per-chunk cost is ~30 us; an 8-step chain cannot
+# resolve it against the ~25 ms tunnel fetch (the first sweep attempt
+# read N=512 "faster" than N=30 — pure noise).  512 chained updates put
+# ~15 ms of real work in each dispatch.
 
 
 def bench_streaming(num_labels, fetch_s):
@@ -76,14 +82,15 @@ def bench_streaming(num_labels, fetch_s):
             ck = ck + 0.0 * st.alpha_full[0, 0]
             return (st, ck), None
         (st, ck), _ = jax.lax.scan(body, (st_in, chunk_in), None,
-                                   length=CHAIN_K)
+                                   length=STREAM_CHAIN)
         return st, ck
 
     f = jax.jit(score_chain)
     _mark(f"compile streaming scores N={num_labels}")
     f(chunk, st0)
     t_scores = _best(
-        lambda ck: f(ck, st0), chunk, lambda _, out: out[1], fetch_s
+        lambda ck: f(ck, st0), chunk, lambda _, out: out[1], fetch_s,
+        steps=STREAM_CHAIN,
     )
 
     vst0 = streaming_viterbi_init(b, num_labels)
@@ -92,17 +99,20 @@ def bench_streaming(num_labels, fetch_s):
         def body(carry, _):
             st, ck = carry
             st, (bp, valid) = streaming_viterbi_update(trans, st, ck)
-            ck = ck + 0.0 * st.delta[0, 0]
+            # thread bp too — a bp-free chain lets XLA DCE the backpointer
+            # computation (the r2 decode bench fell to exactly that)
+            ck = ck + 0.0 * (st.delta[0, 0] + bp.sum().astype(ck.dtype))
             return (st, ck), None
         (st, ck), _ = jax.lax.scan(body, (st_in, chunk_in), None,
-                                   length=CHAIN_K)
+                                   length=STREAM_CHAIN)
         return st, ck
 
     v = jax.jit(vit_chain)
     _mark(f"compile streaming viterbi N={num_labels}")
     v(chunk, vst0)
     t_vit = _best(
-        lambda ck: v(ck, vst0), chunk, lambda _, out: out[1], fetch_s
+        lambda ck: v(ck, vst0), chunk, lambda _, out: out[1], fetch_s,
+        steps=STREAM_CHAIN,
     )
     print(json.dumps({
         "row": "streaming",
@@ -110,7 +120,8 @@ def bench_streaming(num_labels, fetch_s):
         "scores_update_ms_per_chunk": round(t_scores, 3),
         "viterbi_update_ms_per_chunk": round(t_vit, 3),
         "scores_us_per_frame": round(t_scores / t_c * 1e3, 1),
-        "note": "stream_targets precomputed; chunk threaded in-graph",
+        "note": f"stream_targets precomputed; {STREAM_CHAIN} chained "
+                "updates per dispatch, chunk+bp threaded in-graph",
         "backend": jax.default_backend(),
     }), flush=True)
 

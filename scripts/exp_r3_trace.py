@@ -33,21 +33,31 @@ import numpy as np
 B, T, S, N = 64, 1000, 50, 30
 CHAIN_K = 8
 
+# mode '10k': the bench's BASELINE-config-5 shape (impl='matmul'); the
+# transition is 400 MB so it must be a jit ARGUMENT and the chain is
+# short (57 ms/step needs no depth for resolution)
+BIG_T, BIG_B, BIG_S, BIG_N, BIG_CHAIN = 100, 8, 10, 10_000, 2
 
-def make_case(dtype=jnp.float32):
+
+def make_case(b, t, s, n, dtype=jnp.float32, scale=0.5):
     r = np.random.default_rng(0)
-    inputs = jnp.asarray(r.normal(size=(T, B, N)), dtype)
-    trans = jnp.asarray(r.normal(size=(N, N)) * 0.5, dtype)
-    targets = jnp.asarray(r.integers(0, N, size=(B, S)), jnp.int32)
-    li = jnp.asarray(r.integers(T // 2, T + 1, size=(B,)), jnp.int32)
-    lo = jnp.asarray(r.integers(S // 2, S + 1, size=(B,)), jnp.int32)
+    inputs = jnp.asarray(r.normal(size=(t, b, n)), dtype)
+    trans = jnp.asarray(r.normal(size=(n, n)) * scale, dtype)
+    targets = jnp.asarray(r.integers(0, n, size=(b, s)), jnp.int32)
+    li = jnp.asarray(r.integers(t // 2, t + 1, size=(b,)), jnp.int32)
+    lo = jnp.asarray(r.integers(s // 2, s + 1, size=(b,)), jnp.int32)
     return trans, inputs, targets, li, lo
 
 
 def build_chain(impl="fused"):
     from torch_asg_tpu import asg_loss
 
-    trans, inputs, targets, li, lo = make_case()
+    big = impl == "matmul"
+    trans, inputs, targets, li, lo = (
+        make_case(BIG_B, BIG_T, BIG_S, BIG_N, scale=0.1) if big
+        else make_case(B, T, S, N)
+    )
+    chain_k = BIG_CHAIN if big else CHAIN_K
 
     def vg(tr, inp):
         return jax.value_and_grad(
@@ -56,14 +66,15 @@ def build_chain(impl="fused"):
             argnums=(0, 1),
         )(tr, inp)
 
-    def chain(inp):
+    def chain(tr, inp):
         def body(inp_c, _):
-            loss, (gt, gi) = vg(trans, inp_c)
+            loss, (gt, gi) = vg(tr, inp_c)
             return inp_c + 0.0 * gi, loss
-        inp_o, losses = jax.lax.scan(body, inp, None, length=CHAIN_K)
+        inp_o, losses = jax.lax.scan(body, inp, None, length=chain_k)
         return losses[-1], inp_o
 
-    return jax.jit(chain), inputs
+    f = jax.jit(chain)
+    return (lambda x: f(trans, x)), inputs, chain_k
 
 
 def collect_device_events(trace_dir):
@@ -103,8 +114,11 @@ def collect_device_events(trace_dir):
 
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/asg_trace_r3"
-    _mark("build + compile fused chain")
-    step, inputs = build_chain("fused")
+    impl = sys.argv[2] if len(sys.argv) > 2 else "fused"
+    if impl == "10k":
+        impl = "matmul"
+    _mark(f"build + compile {impl} chain")
+    step, inputs, chain_k = build_chain(impl)
     out = step(inputs)  # compile
     float(out[0])
     _mark("warm steps")
@@ -113,8 +127,8 @@ def main():
         loss, cur = step(cur)
     float(loss)
 
-    n_dispatch = 3  # 3 dispatches x CHAIN_K steps inside the trace window
-    _mark(f"trace {n_dispatch} dispatches x {CHAIN_K} steps")
+    n_dispatch = 3  # dispatches x chain_k steps inside the trace window
+    _mark(f"trace {n_dispatch} dispatches x {chain_k} steps")
     with jax.profiler.trace(outdir):
         cur = inputs
         for _ in range(n_dispatch):
@@ -126,7 +140,7 @@ def main():
         print("NO DEVICE EVENTS CAPTURED — profiler does not reach the "
               "remote device timeline on this platform")
         return 1
-    steps = n_dispatch * CHAIN_K
+    steps = n_dispatch * chain_k
     rows = sorted(agg.items(), key=lambda kv: -kv[1][0])
     print(f"{'us/step':>9} {'count':>7} name  [long_name]")
     total = 0.0

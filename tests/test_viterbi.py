@@ -238,6 +238,43 @@ def test_viterbi_nbest_chunked_matches(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(got.paths), np.asarray(ref.paths))
 
 
+def test_topk_wide_fallback_matches_lax(rng, monkeypatch):
+    """The iterative (max, argmax, mask) top-k used past
+    _TOPK_SORT_MAX_WIDTH (lax.top_k hangs the TPU compiler and crashes
+    the worker at width 40k) matches lax.top_k exactly — values AND
+    indices, including ascending-index order among exact ties."""
+    from torch_asg_tpu.ops import viterbi as vit_mod
+
+    x = rng.normal(size=(3, 5, 200)).astype(np.float32)
+    # manufacture exact ties, incl. a tie inside the top-k and at rank k
+    x[0, 0, 17] = x[0, 0, 3] = 50.0
+    x[1, 2, :] = 1.0
+    x[2, 4, 10:14] = x[2, 4, 2]
+    for k in (1, 4):
+        ref_v, ref_i = jax.lax.top_k(jnp.asarray(x), k)
+        monkeypatch.setattr(vit_mod, "_TOPK_SORT_MAX_WIDTH", 8)
+        got_v, got_i = vit_mod._topk(jnp.asarray(x), k)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+
+
+def test_viterbi_nbest_wide_topk_path_matches(rng, monkeypatch):
+    """Full nbest through the wide-axis top-k fallback == the lax.top_k
+    path (threshold forced down so the fallback runs at toy scale)."""
+    from torch_asg_tpu.ops import viterbi as vit_mod
+
+    T, B, N, k = 8, 2, 9, 3
+    inputs = jnp.asarray(rng.normal(size=(T, B, N)))
+    trans = jnp.asarray(rng.normal(size=(N, N)) * 0.5)
+    li = jnp.asarray([8, 5], jnp.int32)
+    ref = viterbi_nbest(trans, inputs, k, li)
+    monkeypatch.setattr(vit_mod, "_TOPK_SORT_MAX_WIDTH", 4)
+    got = viterbi_nbest(trans, inputs, k, li)
+    np.testing.assert_allclose(got.scores, ref.scores)
+    np.testing.assert_array_equal(np.asarray(got.paths), np.asarray(ref.paths))
+
+
 def test_viterbi_decode_chunked_matches(rng, monkeypatch):
     """The large-vocabulary chunked max-plus path is exact vs the dense
     step (forced via the threshold; chunk > N exercises row padding)."""

@@ -41,7 +41,7 @@ from .fac import gather_aligned_emissions, make_aligned, _shift_right_s
 from .fcc import _exp_mats, _lse_mm
 from .semiring import NEG_INF, logaddexp, logsumexp
 from .viterbi import (NBestResult, ViterbiResult, _maxplus_argmax,
-                      _maxplus_topk)
+                      _maxplus_topk, _topk)
 from ..utils.lengths import label_mask, time_mask
 
 
@@ -443,8 +443,7 @@ def streaming_nbest_backtrace(
     ``viterbi_nbest`` on the concatenated prefix)."""
     num_batches, num_labels, k = state.delta.shape
     flat_end = state.delta.reshape(num_batches, num_labels * k)
-    scores, flat0 = lax.top_k(flat_end, k)  # (B, k) each
-    flat0 = flat0.astype(jnp.int32)
+    scores, flat0 = _topk(flat_end, k)  # (B, k) each
 
     def bstep(flat, xs):
         bp_t, v_t = xs  # (B, N, k), (B,)

@@ -50,6 +50,31 @@ from ..utils.lengths import mask_emissions
 _CHUNK_MIN_LABELS = 1024
 _CHUNK_SIZE = 512
 
+# ``lax.top_k`` over very wide axes is pathological on TPU: at width
+# 40,000 (N=10k, k=4) its sort-based lowering hangs the remote compiler
+# for 15+ minutes and a compiled instance crashes the TPU worker process
+# outright (round-3 serving sweep).  Past this width we extract the k
+# maxima iteratively — k (max, argmax, mask) reduction sweeps, broadcast
+# compares only, no sort and no gather — which matches lax.top_k
+# exactly, including ascending-index order among ties.
+_TOPK_SORT_MAX_WIDTH = 4096
+
+
+def _topk(x: jnp.ndarray, k: int):
+    """``lax.top_k`` with a reduction-based fallback for wide axes."""
+    if x.shape[-1] <= _TOPK_SORT_MAX_WIDTH:
+        vals, idx = lax.top_k(x, k)
+        return vals, idx.astype(jnp.int32)
+    iota = lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    vs, ids = [], []
+    for _ in range(k):
+        v = jnp.max(x, axis=-1)
+        i = jnp.argmax(x, axis=-1).astype(jnp.int32)
+        vs.append(v)
+        ids.append(i)
+        x = jnp.where(iota == i[..., None], NEG_INF, x)
+    return jnp.stack(vs, axis=-1), jnp.stack(ids, axis=-1)
+
 
 class ViterbiResult(NamedTuple):
     scores: jnp.ndarray  # (B,) best-path scores
@@ -252,15 +277,14 @@ def _maxplus_topk(transition, d_prev, k):
     # the unchunked tensor is (B, N, N*k) — k times the 1-best envelope —
     # so the chunk threshold scales down with k
     if num_labels <= max(1, _CHUNK_MIN_LABELS // k):
-        vals, idx = lax.top_k(cand_of(transition), k)  # (B, N, k)
-        return vals, idx.astype(jnp.int32)
+        return _topk(cand_of(transition), k)  # (B, N, k)
 
     ck = max(1, _CHUNK_SIZE // k)
     n_pad = -(-num_labels // ck) * ck
     trans_p = jnp.pad(
         transition, ((0, n_pad - num_labels), (0, 0)), constant_values=NEG_INF
     ).reshape(n_pad // ck, ck, num_labels)
-    vals, idx = lax.map(lambda rows: lax.top_k(cand_of(rows), k), trans_p)
+    vals, idx = lax.map(lambda rows: _topk(cand_of(rows), k), trans_p)
     vals = jnp.transpose(vals, (1, 0, 2, 3)).reshape(num_batches, n_pad, k)
     idx = jnp.transpose(idx, (1, 0, 2, 3)).reshape(num_batches, n_pad, k)
     return vals[:, :num_labels], idx[:, :num_labels].astype(jnp.int32)
@@ -306,8 +330,7 @@ def viterbi_nbest(
     (_, d_end), backptr = lax.scan(fstep, (d0, d0), (ts_f, inputs_m[1:]))
 
     flat_end = d_end.reshape(num_batches, num_labels * k)
-    scores, flat_fin = lax.top_k(flat_end, k)  # (B, k) each
-    flat_fin = flat_fin.astype(jnp.int32)
+    scores, flat_fin = _topk(flat_end, k)  # (B, k) each
 
     # Backtrace in flat (label*k + rank) coordinates, same end masking as
     # the 1-best decoder; -1 marks padding frames.
