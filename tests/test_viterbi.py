@@ -238,6 +238,26 @@ def test_viterbi_nbest_chunked_matches(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(got.paths), np.asarray(ref.paths))
 
 
+def test_select_rows_matches_take_along_axis(rng):
+    """The gather-free one-hot row select used by every backtrace scan
+    (take_along_axis serializes on TPU) is exact — ints, floats, -inf,
+    negative values, repeated indices."""
+    from torch_asg_tpu.ops.viterbi import _select_row, _select_rows
+
+    vals_f = rng.normal(size=(5, 17)).astype(np.float32)
+    vals_f[0, 3] = -np.inf
+    vals_f[2, 0] = -7.25
+    vals_i = rng.integers(-40, 40, size=(5, 17)).astype(np.int32)
+    idx = rng.integers(0, 17, size=(5, 4)).astype(np.int32)
+    idx[1, 2] = idx[1, 1]  # repeated pick
+    for vals in (vals_f, vals_i):
+        ref = np.take_along_axis(np.asarray(vals), np.asarray(idx), axis=1)
+        got = _select_rows(jnp.asarray(vals), jnp.asarray(idx))
+        np.testing.assert_array_equal(np.asarray(got), ref)
+        got1 = _select_row(jnp.asarray(vals), jnp.asarray(idx[:, 0]))
+        np.testing.assert_array_equal(np.asarray(got1), ref[:, 0])
+
+
 def test_topk_wide_fallback_matches_lax(rng, monkeypatch):
     """The iterative (max, argmax, mask) top-k used past
     _TOPK_SORT_MAX_WIDTH (lax.top_k hangs the TPU compiler and crashes

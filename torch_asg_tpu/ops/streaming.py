@@ -41,7 +41,7 @@ from .fac import gather_aligned_emissions, make_aligned, _shift_right_s
 from .fcc import _exp_mats, _lse_mm
 from .semiring import NEG_INF, logaddexp, logsumexp
 from .viterbi import (NBestResult, ViterbiResult, _maxplus_argmax,
-                      _maxplus_topk, _topk)
+                      _maxplus_topk, _select_row, _select_rows, _topk)
 from ..utils.lengths import label_mask, time_mask
 
 
@@ -355,7 +355,7 @@ def streaming_viterbi_backtrace(
     def bstep(lab, xs):
         bp_t, v_t = xs
         emit = jnp.where(v_t, lab, -1)
-        prev = jnp.take_along_axis(bp_t, jnp.clip(lab, 0)[:, None], axis=1)[:, 0]
+        prev = _select_row(bp_t, jnp.clip(lab, 0))
         lab = jnp.where(v_t, prev, lab)
         return lab, emit
 
@@ -448,9 +448,8 @@ def streaming_nbest_backtrace(
     def bstep(flat, xs):
         bp_t, v_t = xs  # (B, N, k), (B,)
         emit = jnp.where(v_t[:, None], flat, -1)
-        prev = jnp.take_along_axis(
-            bp_t.reshape(num_batches, num_labels * k),
-            jnp.clip(flat, 0), axis=1,
+        prev = _select_rows(
+            bp_t.reshape(num_batches, num_labels * k), jnp.clip(flat, 0)
         )
         flat = jnp.where(v_t[:, None], prev, flat)
         return flat, emit

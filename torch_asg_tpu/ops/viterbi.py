@@ -76,6 +76,31 @@ def _topk(x: jnp.ndarray, k: int):
     return jnp.stack(vs, axis=-1), jnp.stack(ids, axis=-1)
 
 
+def _select_rows(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``vals[b, idx[b, r]]`` as (B, k) — the backtrace's per-step row
+    pick — WITHOUT a serialized TPU gather.
+
+    ``take_along_axis`` lowers to a gather, which XLA serializes on TPU;
+    inside the T-step backtrace scans that cost ~1.7 us/step at the
+    benchmark shape (73% of the whole XLA decode, docs/PERF_R3.md §2).
+    The one-hot compare + masked sum is pure VPU work — the same trick
+    the Pallas backtrace kernel uses in VMEM — and is exact: ``idx`` is
+    clipped to [0, M), so exactly one mask element is true per (b, r)
+    and the sum reproduces the selected value bit-for-bit (ints and
+    floats alike; non-selected lanes contribute a literal 0).
+    """
+    m = vals.shape[1]
+    mask = lax.broadcasted_iota(jnp.int32, (1, m, 1), 1) == idx[:, None, :]
+    # dtype pinned: jnp.sum would promote int32 -> int64 under x64 mode
+    return jnp.sum(jnp.where(mask, vals[:, :, None], 0), axis=1,
+                   dtype=vals.dtype)
+
+
+def _select_row(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``vals[b, idx[b]]`` as (B,) — the k=1 form of ``_select_rows``."""
+    return _select_rows(vals, idx[:, None])[:, 0]
+
+
 class ViterbiResult(NamedTuple):
     scores: jnp.ndarray  # (B,) best-path scores
     paths: jnp.ndarray  # (T, B) int32 labels, -1 at padding frames
@@ -132,9 +157,7 @@ def _backtrace_1best(d_end, backptr, input_lengths, t_total) -> ViterbiResult:
 
     def bstep(lab_next, xs):
         t, bp_t = xs  # bp_t maps label at t+1 -> label at t
-        prev = jnp.take_along_axis(
-            bp_t, jnp.clip(lab_next, 0)[:, None], axis=1
-        )[:, 0]
+        prev = _select_row(bp_t, jnp.clip(lab_next, 0))
         lab_t = jnp.where(
             input_lengths - 1 == t,
             final_labels,
@@ -341,9 +364,8 @@ def viterbi_nbest(
 
     def bstep(flat_next, xs):
         t, bp_t = xs  # (B, N, k): (label, rank) at t+1 -> flat at t
-        prev = jnp.take_along_axis(
-            bp_t.reshape(num_batches, num_labels * k),
-            jnp.clip(flat_next, 0), axis=1,
+        prev = _select_rows(
+            bp_t.reshape(num_batches, num_labels * k), jnp.clip(flat_next, 0)
         )
         flat_t = jnp.where(
             (input_lengths - 1 == t)[:, None],
@@ -401,8 +423,8 @@ def viterbi_align(
 
     def bstep(pos_next, xs):
         t, adv_t = xs  # adv_t: (B, S) advance bit for the step into t+1
-        took = jnp.take_along_axis(adv_t, jnp.clip(pos_next, 0)[:, None], axis=1)[:, 0]
-        prev = jnp.clip(pos_next, 0) - took.astype(jnp.int32)
+        took = _select_row(adv_t.astype(jnp.int32), jnp.clip(pos_next, 0))
+        prev = jnp.clip(pos_next, 0) - took
         pos_t = jnp.where(
             end_t == t, end_s, jnp.where(t < end_t, prev, pad)
         )
@@ -412,13 +434,10 @@ def viterbi_align(
     _, poss = lax.scan(bstep, pos_last, (ts, adv[::-1]))
     positions = jnp.concatenate([poss[::-1], pos_last[None]], axis=0)
 
-    labels = jnp.where(
-        positions >= 0,
-        jnp.take_along_axis(
-            jnp.broadcast_to(lat.targets[None], (t_total,) + lat.targets.shape),
-            jnp.clip(positions, 0)[:, :, None],
-            axis=2,
-        )[:, :, 0],
-        -1,
-    ).astype(jnp.int32)
+    # targets[b, positions[t, b]] via the same gather-free one-hot select
+    # (a (T*B)-row gather also serializes on TPU)
+    slot = jnp.arange(s_total, dtype=jnp.int32)[None, None, :]
+    hit = jnp.clip(positions, 0)[:, :, None] == slot  # (T, B, S)
+    picked = jnp.sum(jnp.where(hit, lat.targets[None], 0), axis=2)
+    labels = jnp.where(positions >= 0, picked, -1).astype(jnp.int32)
     return AlignmentResult(scores, positions, labels)
