@@ -17,8 +17,11 @@ from torch_asg_tpu.parallel import (
     fcc_score_vp,
     make_mesh,
     shard_batch,
+    viterbi_align_dp,
+    viterbi_decode_dp,
 )
 from torch_asg_tpu.ops.fcc import fcc_score
+from torch_asg_tpu.ops.viterbi import viterbi_align, viterbi_decode
 
 
 @pytest.fixture(scope="module")
@@ -87,6 +90,36 @@ def test_dp_grads_psum(case):
     g_ref = jax.grad(ref_loss, argnums=(0, 1))(case["trans"], case["inputs"])
     np.testing.assert_allclose(np.asarray(g_dp[0]), np.asarray(g_ref[0]), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(g_dp[1]), np.asarray(g_ref[1]), rtol=1e-10)
+
+
+def test_dp_viterbi_decode_matches_single_chip(case):
+    mesh = make_mesh()
+    ref = viterbi_decode(case["trans"], case["inputs"], case["li"])
+    got = viterbi_decode_dp(mesh, case["trans"], case["inputs"], case["li"])
+    np.testing.assert_allclose(np.asarray(got.scores), np.asarray(ref.scores),
+                               rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(got.paths), np.asarray(ref.paths))
+    with pytest.raises(ValueError, match="divisible"):
+        viterbi_decode_dp(mesh, case["trans"], case["inputs"][:, :3], None)
+
+
+def test_dp_viterbi_align_matches_single_chip(case):
+    mesh = make_mesh()
+    ref = viterbi_align(
+        case["trans"], case["inputs"], case["targets"], case["li"], case["lo"]
+    )
+    got = viterbi_align_dp(
+        mesh, case["trans"], case["inputs"], case["targets"], case["li"],
+        case["lo"],
+    )
+    np.testing.assert_allclose(np.asarray(got.scores), np.asarray(ref.scores),
+                               rtol=1e-12)
+    np.testing.assert_array_equal(
+        np.asarray(got.positions), np.asarray(ref.positions)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.labels), np.asarray(ref.labels)
+    )
 
 
 def test_vp_fcc_forward(case):

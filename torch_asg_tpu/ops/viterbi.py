@@ -15,20 +15,24 @@ recursions with max instead of logsumexp, plus an argmax backtrace:
 Ragged lengths are masked exactly like the loss kernels; emitted paths use
 -1 at padding frames.
 
-Implementation note: these stay as XLA ``lax.scan`` programs by
-measurement plus a floor argument, not omission.  Measured on one TPU
-chip at the benchmark shape (B=64, T=1000, N=30) the scan decoder runs
-~1.1 ms — 1.1 us/step, about 2.3x the fused Pallas ASG forward (~0.5 ms).
-The gap does not mean a kernel would win it back: the fused forward rides
-the MXU (its logsumexp step collapses to a matmul), while the tropical
-step has no MXU form (max-plus is not a matmul over (+, x)), so any
-kernel does O(B*N^2) max/select VPU work per step PLUS an argmax-index
-select per edge for the backtrace.  A Pallas variant (rotation-trick
-max-plus over lane-rolled tiles, 8-step unrolled blocks like
-asg_kernels.py) would trade ~1.0 us/step of scan overhead for
-~0.8-1.2 us/step of VPU work at 128-lane width — inside tunnel variance
-(~+-30%) of the scan, with a second numerics surface to maintain.  The
-decoders share the loss path's DP structure instead: the same masking
+Implementation tiers (selected by ``impl='auto'``, measured on one TPU
+chip — docs/PERF_R3.md §2):
+
+  * N <= 128: the rotation-trick Pallas kernel pair
+    (ops/pallas/viterbi_kernels.py) — a lane-rolled max-plus forward
+    plus a one-hot lane-select backtrace kernel.  Full decode (scores
+    AND paths) runs 3.3x the XLA scan at the benchmark shape
+    (B=64, T=1000, N=30: 0.93 ms vs 3.1 ms) and up to 10.6x at
+    letters-long shapes, bit-identical including tie-breaking.  The
+    dominant XLA cost it removes is not the max-plus step but the
+    backtrace's per-step row select, which XLA lowers to a serialized
+    gather (~1.7 us/step).
+  * wider vocabularies: XLA ``lax.scan`` with the (B, N, N) candidate
+    step, destination-chunked past ``_CHUNK_MIN_LABELS`` so only
+    (B, chunk, N) is live; the backtrace uses the same one-hot
+    ``_select_rows`` trick in XLA form (gather-free, exact).
+
+The decoders share the loss path's DP structure: the same masking
 (mask_emissions), the same aligned-lattice gather (make_aligned), and the
 recursions with (max, argmax) substituted for logsumexp.
 """

@@ -57,11 +57,7 @@ def asg_loss_dp(
         input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
     if target_lengths is None:
         target_lengths = jnp.full((num_batches,), targets.shape[1], dtype=jnp.int32)
-    if num_batches % mesh.shape[axis] != 0:
-        raise ValueError(
-            f"batch {num_batches} not divisible by mesh axis "
-            f"{axis!r} = {mesh.shape[axis]}"
-        )
+    _dp_batch_check(num_batches, mesh, axis)
 
     from ..asg import REDUCTIONS
 
@@ -93,3 +89,92 @@ def asg_loss_dp(
         return total
 
     return _shard(transition, inputs, targets, input_lengths, target_lengths)
+
+
+def _dp_batch_check(num_batches: int, mesh: Mesh, axis: str) -> None:
+    if num_batches % mesh.shape[axis] != 0:
+        raise ValueError(
+            f"batch {num_batches} not divisible by mesh axis "
+            f"{axis!r} = {mesh.shape[axis]}"
+        )
+
+
+def viterbi_decode_dp(
+    mesh: Mesh,
+    transition: jnp.ndarray,
+    inputs: jnp.ndarray,
+    input_lengths: Optional[jnp.ndarray] = None,
+    *,
+    axis: str = "data",
+    impl: str = "auto",
+):
+    """``ops.viterbi.viterbi_decode`` with the batch sharded over
+    ``mesh[axis]`` (decoding is embarrassingly batch-parallel; this wrapper
+    pins the per-shard Pallas/XLA tier choice and keeps every shard's
+    backtrace on its own chip — no cross-chip traffic at all).
+
+    Returns a ``ViterbiResult`` whose ``scores`` (B,) and ``paths`` (T, B)
+    stay sharded over the batch axis.
+    """
+    from ..ops.viterbi import viterbi_decode
+
+    t_total, num_batches, _ = inputs.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
+    _dp_batch_check(num_batches, mesh, axis)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis, None), P(axis)),
+        out_specs=(P(axis), P(None, axis)),
+        check_vma=False,
+    )
+    def _shard(trans, inp, li):
+        res = viterbi_decode(trans, inp, li, impl=impl)
+        return res.scores, res.paths
+
+    from ..ops.viterbi import ViterbiResult
+
+    scores, paths = _shard(transition, inputs, input_lengths)
+    return ViterbiResult(scores, paths)
+
+
+def viterbi_align_dp(
+    mesh: Mesh,
+    transition: jnp.ndarray,
+    inputs: jnp.ndarray,
+    targets: jnp.ndarray,
+    input_lengths: Optional[jnp.ndarray] = None,
+    target_lengths: Optional[jnp.ndarray] = None,
+    *,
+    axis: str = "data",
+):
+    """``ops.viterbi.viterbi_align`` (forced alignment) with the batch
+    sharded over ``mesh[axis]``; same contract as ``viterbi_decode_dp``."""
+    from ..ops.viterbi import AlignmentResult, viterbi_align
+
+    t_total, num_batches, _ = inputs.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
+    if target_lengths is None:
+        target_lengths = jnp.full(
+            (num_batches,), targets.shape[1], dtype=jnp.int32
+        )
+    _dp_batch_check(num_batches, mesh, axis)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis, None), P(axis, None), P(axis), P(axis)),
+        out_specs=(P(axis), P(None, axis), P(None, axis)),
+        check_vma=False,
+    )
+    def _shard(trans, inp, tgt, li, lo):
+        res = viterbi_align(trans, inp, tgt, li, lo)
+        return res.scores, res.positions, res.labels
+
+    scores, positions, labels = _shard(
+        transition, inputs, targets, input_lengths, target_lengths
+    )
+    return AlignmentResult(scores, positions, labels)
