@@ -70,12 +70,14 @@ def main():
         inp_o, (sc, pa) = jax.lax.scan(body, inp, None, length=CHAIN_K)
         return sc[-1].sum(), inp_o, pa[-1]
 
-    def align_chain(inp):
-        def body(inp_c, _):
-            res = viterbi_align(trans, inp_c, targets, li, lo)
-            return inp_c + 0.0 * res.scores.sum(), (res.scores, res.labels)
-        inp_o, (sc, la) = jax.lax.scan(body, inp, None, length=CHAIN_K)
-        return sc[-1].sum(), inp_o, la[-1]
+    def make_align_chain(impl):
+        def align_chain(inp):
+            def body(inp_c, _):
+                res = viterbi_align(trans, inp_c, targets, li, lo, impl=impl)
+                return inp_c + 0.0 * res.scores.sum(), (res.scores, res.labels)
+            inp_o, (sc, la) = jax.lax.scan(body, inp, None, length=CHAIN_K)
+            return sc[-1].sum(), inp_o, la[-1]
+        return align_chain
 
     def nbest_chain(inp):
         def body(inp_c, _):
@@ -85,7 +87,10 @@ def main():
         return sc[-1].sum(), inp_o, pa[-1]
 
     _timed(jax.jit(dec_chain), inputs, fetch_s, "xla decode (select bt)")
-    _timed(jax.jit(align_chain), inputs, fetch_s, "viterbi_align")
+    _timed(jax.jit(make_align_chain("xla")), inputs, fetch_s,
+           "viterbi_align xla")
+    _timed(jax.jit(make_align_chain("pallas")), inputs, fetch_s,
+           "viterbi_align pallas")
     _timed(jax.jit(nbest_chain), inputs, fetch_s, "viterbi_nbest k=4")
     return 0
 

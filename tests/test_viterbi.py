@@ -270,6 +270,10 @@ def test_topk_wide_fallback_matches_lax(rng, monkeypatch):
     x[0, 0, 17] = x[0, 0, 3] = 50.0
     x[1, 2, :] = 1.0
     x[2, 4, 10:14] = x[2, 4, 2]
+    # -inf rows (nbest's unseeded rank slots): top_k yields ascending
+    # DISTINCT indices even though every value is -inf
+    x[0, 1, :] = -np.inf
+    x[1, 3, 2:] = -np.inf  # only 2 finite entries < k=4
     for k in (1, 4):
         ref_v, ref_i = jax.lax.top_k(jnp.asarray(x), k)
         monkeypatch.setattr(vit_mod, "_TOPK_SORT_MAX_WIDTH", 8)
@@ -398,6 +402,82 @@ def test_viterbi_pallas_exact_tie_breaking(rng):
     got = viterbi_decode(trans, inputs, impl="pallas")
     np.testing.assert_array_equal(got.paths, want.paths)
     np.testing.assert_allclose(got.scores, want.scores, rtol=1e-12)
+
+
+def test_align_pallas_kernel_matches_xla(rng):
+    """The two-edge alignment kernel pair is bit-identical to the XLA
+    forced aligner — scores, positions, labels, AND the raw advance-bit
+    stream / end row — on ragged lengths incl. a one-frame element."""
+    from torch_asg_tpu.ops.fac import make_aligned
+    from torch_asg_tpu.ops.pallas.viterbi_kernels import (
+        align_forward_pallas,
+    )
+
+    t_total, num_batches, num_labels, s_total = 19, 5, 6, 4
+    inputs = jnp.asarray(
+        rng.normal(size=(t_total, num_batches, num_labels)), jnp.float64
+    )
+    trans = jnp.asarray(
+        rng.normal(size=(num_labels, num_labels)) * 0.5, jnp.float64
+    )
+    targets = jnp.asarray(
+        rng.integers(0, num_labels, size=(num_batches, s_total)), jnp.int32
+    )
+    li = jnp.asarray([19, 12, 1, 9, 19], jnp.int32)
+    lo = jnp.asarray([4, 3, 1, 2, 4], jnp.int32)
+
+    want = viterbi_align(trans, inputs, targets, li, lo, impl="xla")
+    got = viterbi_align(trans, inputs, targets, li, lo, impl="pallas")
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-12)
+    np.testing.assert_array_equal(got.positions, want.positions)
+    np.testing.assert_array_equal(got.labels, want.labels)
+
+    # forward outputs directly: advance bits + end row vs a python oracle
+    from torch_asg_tpu.ops.fac import _shift_right_s
+
+    lat = make_aligned(trans, inputs, targets, li, lo)
+    d_end, adv = align_forward_pallas(lat, li)
+    d = jnp.full((num_batches, s_total), -jnp.inf, lat.inputs.dtype)
+    d = d.at[:, 0].set(lat.inputs[0, :, 0])
+    d_end_ref = d
+    for t in range(1, t_total):
+        stay = d + lat.self_trans
+        move = _shift_right_s(d + lat.next_trans)
+        d = lat.inputs[t] + jnp.maximum(stay, move)
+        np.testing.assert_array_equal(
+            np.asarray(adv[t]), np.asarray(move > stay).astype(np.int32)
+        )
+        d_end_ref = jnp.where((li - 1 == t)[:, None], d, d_end_ref)
+    np.testing.assert_allclose(
+        np.asarray(d_end), np.asarray(d_end_ref), rtol=1e-12
+    )
+
+
+def test_align_pallas_tie_breaking(rng):
+    """Exact stay/advance ties resolve to STAY in both impls (zero
+    transitions + tiled emissions manufacture per-step ties)."""
+    t_total, num_batches, num_labels, s_total = 11, 3, 4, 3
+    base = rng.normal(size=(t_total, num_batches, 1))
+    inputs = jnp.asarray(np.tile(base, (1, 1, num_labels)), jnp.float64)
+    trans = jnp.zeros((num_labels, num_labels), jnp.float64)
+    targets = jnp.asarray(
+        rng.integers(0, num_labels, size=(num_batches, s_total)), jnp.int32
+    )
+    want = viterbi_align(trans, inputs, targets, impl="xla")
+    got = viterbi_align(trans, inputs, targets, impl="pallas")
+    np.testing.assert_array_equal(got.positions, want.positions)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-12)
+
+
+def test_align_pallas_width_budget_raises():
+    from torch_asg_tpu.ops.viterbi import ALIGN_KERNEL_MAX_WIDTH
+
+    s = ALIGN_KERNEL_MAX_WIDTH + 1
+    inputs = jnp.zeros((4, 2, 8))
+    trans = jnp.zeros((8, 8))
+    targets = jnp.zeros((2, s), jnp.int32)
+    with pytest.raises(ValueError, match="pallas"):
+        viterbi_align(trans, inputs, targets, impl="pallas")
 
 
 def test_viterbi_pallas_width_budget_raises(rng):

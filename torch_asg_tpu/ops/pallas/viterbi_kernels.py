@@ -174,6 +174,182 @@ def viterbi_forward_pallas(transition, inputs, input_lengths):
     )
 
 
+def _alignf_kernel(
+    li_ref, st_ref, nt_ref, ap_ref, adv_ref, dend_ref, d_c, dend_c,
+    *, kb, s_pad,
+):
+    """Forced-alignment forward (aligned/FAC lattice, tropical semiring).
+
+    Two-edge recursion per frame — stay (self-loop) vs advance from slot
+    s-1 (a single +1 lane shift, no rotation loop) — with a one-BIT
+    backpointer per (b, s): advanced = move > stay, exactly the XLA
+    oracle's tie-breaking (tie -> stay).  The end row d[t = L_in-1] is
+    captured online; no (T, B, S) delta is ever materialized.
+    """
+    k_blk = pl.program_id(0)
+
+    @pl.when(k_blk == 0)
+    def _():
+        d_c[:] = jnp.full_like(d_c, NEG_INF)
+        dend_c[:] = jnp.full_like(dend_c, NEG_INF)
+
+    li = li_ref[:]  # (b_pad, 1) int32
+    st = st_ref[:]  # (b_pad, s_pad) self-loop transition, 0 at padding
+    nt = nt_ref[:]  # (b_pad, s_pad) advance transition, 0 at padding
+    d = d_c[:]
+    dend = dend_c[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1)
+    adv_rows = []
+    base_t = k_blk * kb
+    first = k_blk == 0
+    for r in range(kb):
+        i_t = _lane_pad(ap_ref[r], s_pad, NEG_INF)  # (b_pad, s_pad)
+        stay = d + st
+        move = _roll_lanes(d + nt, 1)
+        move = jnp.where(lane == 0, NEG_INF, move)
+        d_new = i_t + jnp.maximum(stay, move)
+        advb = (move > stay).astype(jnp.int32)
+        if r == 0:
+            # frame 0 (block 0 only): d seeds at slot 0; bit row 0 is a
+            # dummy (the backtrace never reads the step into frame 0)
+            d_new = jnp.where(first, jnp.where(lane == 0, i_t, NEG_INF), d_new)
+            advb = jnp.where(first, 0, advb)
+        adv_rows.append(advb)
+        d = d_new
+        t = base_t + r
+        dend = jnp.where(li - 1 == t, d, dend)
+    d_c[:] = d
+    dend_c[:] = dend
+    s_raw = adv_ref.shape[2]
+    adv_ref[:] = jnp.stack([row[:, :s_raw] for row in adv_rows], axis=0)
+
+    @pl.when(k_blk == pl.num_programs(0) - 1)
+    def _():
+        dend_ref[:] = dend
+
+
+def align_forward_pallas(lat, input_lengths):
+    """(d_end (B, S), adv (T, B, S) int32) from an ``AlignedLattice``.
+
+    adv[t][b, s] == 1 iff the best path into frame t at slot s advanced
+    from slot s-1 (row 0 is a dummy).  Kernel twin of the ``fstep`` scan
+    in ``ops.viterbi.viterbi_align`` — bit-identical bits and end row.
+    """
+    t_total, num_batches, s_total = lat.inputs.shape
+    dt = kernel_dtype(lat.inputs)
+
+    kb = ASG_TIME_BLOCK
+    b_pad = round_up(max(num_batches, SUBLANE), SUBLANE)
+    t_pad = round_up(t_total, kb)
+    s_pad = round_up(max(s_total, LANE), LANE)
+    nb = t_pad // kb
+
+    from ..semiring import NEG_INF as _NI
+
+    ap = pad_axis(
+        pad_axis(lat.inputs.astype(dt), b_pad, 1, _NI), t_pad, 0, _NI
+    )
+    st = pad_axis(pad_axis(lat.self_trans.astype(dt), b_pad, 0, 0.0),
+                  s_pad, 1, 0.0)
+    nt = pad_axis(pad_axis(lat.next_trans.astype(dt), b_pad, 0, 0.0),
+                  s_pad, 1, 0.0)
+    li_col = pad_axis(input_lengths.astype(jnp.int32), b_pad, 0, 1)[:, None]
+
+    kern = functools.partial(_alignf_kernel, kb=kb, s_pad=s_pad)
+    adv, dend = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            _const((b_pad, 1)),
+            _const((b_pad, s_pad)),
+            _const((b_pad, s_pad)),
+            _asc(kb, b_pad, s_total),
+        ],
+        out_specs=[
+            _asc(kb, b_pad, s_total),
+            _const((b_pad, s_pad)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, b_pad, s_total), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, s_pad), dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b_pad, s_pad), dt),
+            pltpu.VMEM((b_pad, s_pad), dt),
+        ],
+        interpret=use_interpret(),
+    )(li_col, st, nt, ap)
+    return (
+        dend[:num_batches, :s_total],
+        adv[:t_total, :num_batches, :],
+    )
+
+
+def _albt_kernel(li_ref, es_ref, advs_ref, pos_ref, pos_c, *, kb):
+    """Alignment backtrace: walk the advance bits tail-to-head.
+
+    advs_ref holds the SHIFTED bits (frame t's block row is adv[t + 1],
+    the step from frame t to t + 1); frames t >= L_b - 1 never read it.
+    The position decrements by the selected bit — the select is the same
+    one-hot lane reduce as the decode backtrace.
+    """
+    k_blk = pl.program_id(0)
+
+    @pl.when(k_blk == 0)
+    def _():
+        pos_c[:] = jnp.zeros_like(pos_c)
+
+    li = li_ref[:]  # (b_pad, 1)
+    es = es_ref[:]  # (b_pad, 1) end slot = L_out - 1
+    pos = pos_c[:]
+    s_raw = advs_ref.shape[2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s_raw), 1)
+    rows = []
+    base_t = (pl.num_programs(0) - 1 - k_blk) * kb
+    for r in range(kb - 1, -1, -1):  # descending within the block
+        t = base_t + r
+        hit = lane == jnp.maximum(pos, 0)
+        took = jnp.sum(jnp.where(hit, advs_ref[r], 0), axis=1, keepdims=True)
+        prev = jnp.maximum(pos, 0) - took
+        pos = jnp.where(li - 1 == t, es, jnp.where(t < li - 1, prev, -1))
+        rows.append(pos)
+    pos_c[:] = pos
+    pos_ref[:] = jnp.stack(rows[::-1], axis=0)  # back to ascending
+
+
+def align_backtrace_pallas(end_s, adv, input_lengths):
+    """(T, B) int32 target positions from the advance-bit stream —
+    bit-identical to the ``bstep`` scan in ``ops.viterbi.viterbi_align``."""
+    t_total, num_batches, s_raw = adv.shape
+    kb = ASG_TIME_BLOCK
+    b_pad = round_up(max(num_batches, SUBLANE), SUBLANE)
+    t_pad = round_up(t_total, kb)
+    nb = t_pad // kb
+
+    # shift so block row r of frame t holds adv[t + 1] (the step t -> t+1);
+    # the shifted-in tail row is never read (t >= L - 1 is reset/padding)
+    advs = jnp.concatenate([adv[1:], adv[-1:]], axis=0)
+    advs = pad_axis(pad_axis(advs, b_pad, 1, 0), t_pad, 0, 0)
+    es_col = pad_axis(end_s.astype(jnp.int32), b_pad, 0, 0)[:, None]
+    li_col = pad_axis(input_lengths.astype(jnp.int32), b_pad, 0, 1)[:, None]
+
+    kern = functools.partial(_albt_kernel, kb=kb)
+    pos = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            _const((b_pad, 1)),
+            _const((b_pad, 1)),
+            _desc(kb, b_pad, s_raw, nb),
+        ],
+        out_specs=_desc(kb, b_pad, 1, nb),
+        out_shape=jax.ShapeDtypeStruct((t_pad, b_pad, 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((b_pad, 1), jnp.int32)],
+        interpret=use_interpret(),
+    )(li_col, es_col, advs)
+    return pos[:t_total, :num_batches, 0]
+
+
 def _bt_kernel(li_ref, fin_ref, bps_ref, path_ref, lab_c, *, kb, t_pad):
     """Backtrace: walk the backpointers tail-to-head.
 

@@ -70,13 +70,23 @@ def _topk(x: jnp.ndarray, k: int):
         vals, idx = lax.top_k(x, k)
         return vals, idx.astype(jnp.int32)
     iota = lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    # A 'taken' mask rather than overwriting with NEG_INF: on a row whose
+    # remaining entries are already -inf (nbest's unseeded rank slots),
+    # overwriting is a no-op and argmax would re-pick index 0 forever,
+    # while lax.top_k emits ascending DISTINCT indices.  The candidate
+    # set 'equal to the max AND not yet taken' with a min-iota pick
+    # reproduces top_k exactly for every input, -inf ties included.
+    taken = jnp.zeros(x.shape, bool)
+    width = x.shape[-1]
     vs, ids = [], []
     for _ in range(k):
-        v = jnp.max(x, axis=-1)
-        i = jnp.argmax(x, axis=-1).astype(jnp.int32)
+        masked = jnp.where(taken, NEG_INF, x)
+        v = jnp.max(masked, axis=-1)
+        cand = (masked == v[..., None]) & ~taken
+        i = jnp.min(jnp.where(cand, iota, width), axis=-1).astype(jnp.int32)
         vs.append(v)
         ids.append(i)
-        x = jnp.where(iota == i[..., None], NEG_INF, x)
+        taken = taken | (iota == i[..., None])
     return jnp.stack(vs, axis=-1), jnp.stack(ids, axis=-1)
 
 
@@ -385,14 +395,38 @@ def viterbi_nbest(
     return NBestResult(scores, paths)
 
 
+def _labels_from_positions(positions, lat_targets):
+    """targets[b, positions[t, b]] with -1 at padding, via the same
+    gather-free one-hot select (a (T*B)-row gather also serializes)."""
+    s_total = lat_targets.shape[1]
+    slot = jnp.arange(s_total, dtype=jnp.int32)[None, None, :]
+    hit = jnp.clip(positions, 0)[:, :, None] == slot  # (T, B, S)
+    picked = jnp.sum(jnp.where(hit, lat_targets[None], 0), axis=2)
+    return jnp.where(positions >= 0, picked, -1).astype(jnp.int32)
+
+
+# The alignment kernel's carry is one (B, S_pad) row; unlike the decoder
+# there is no rotation table, so the only width cost is VMEM.  Capped at
+# the fused loss kernels' width budget for the same reason they are.
+ALIGN_KERNEL_MAX_WIDTH = 512
+
+
 def viterbi_align(
     transition: jnp.ndarray,
     inputs: jnp.ndarray,
     targets: jnp.ndarray,
     input_lengths: Optional[jnp.ndarray] = None,
     target_lengths: Optional[jnp.ndarray] = None,
+    *,
+    impl: str = "auto",
 ) -> AlignmentResult:
-    """Best monotonic target-to-frame alignment (segmentation) per batch."""
+    """Best monotonic target-to-frame alignment (segmentation) per batch.
+
+    impl: 'pallas' (two-edge max-plus kernel pair with a one-bit advance
+    backpointer stream, ops/pallas/viterbi_kernels.py), 'xla' (lax.scan),
+    or 'auto' (pallas on TPU up to S <= 512, xla beyond/off-TPU).
+    Bit-identical results across impls (pinned by tests/test_viterbi.py).
+    """
     t_total, num_batches, _ = inputs.shape
     s_total = targets.shape[1]
     if target_lengths is None:
@@ -403,6 +437,36 @@ def viterbi_align(
         inputs = inputs.astype(jnp.float32)
     transition = transition.astype(inputs.dtype)
     lat = make_aligned(transition, inputs, targets, input_lengths, target_lengths)
+
+    from .pallas.common import use_interpret
+
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if s_total <= ALIGN_KERNEL_MAX_WIDTH and not use_interpret()
+            else "xla"
+        )
+    if impl == "pallas":
+        if s_total > ALIGN_KERNEL_MAX_WIDTH:
+            raise ValueError(
+                f"impl='pallas' holds the (B, S) alignment carry in VMEM "
+                f"and supports S <= {ALIGN_KERNEL_MAX_WIDTH}; got "
+                f"{s_total}.  Use impl='xla' for longer targets."
+            )
+        from .pallas.viterbi_kernels import (
+            align_backtrace_pallas, align_forward_pallas,
+        )
+
+        end_s = (target_lengths - 1).astype(jnp.int32)
+        d_end, adv = align_forward_pallas(lat, input_lengths)
+        scores = _select_row(d_end, end_s)
+        positions = align_backtrace_pallas(end_s, adv, input_lengths)
+        labels = _labels_from_positions(positions, lat.targets)
+        return AlignmentResult(scores, positions, labels)
+    if impl != "xla":
+        raise ValueError(
+            f"unknown impl {impl!r}; expected 'auto', 'pallas', or 'xla'"
+        )
 
     d0 = jnp.full((num_batches, s_total), NEG_INF, lat.inputs.dtype)
     d0 = d0.at[:, 0].set(lat.inputs[0, :, 0])
@@ -438,10 +502,5 @@ def viterbi_align(
     _, poss = lax.scan(bstep, pos_last, (ts, adv[::-1]))
     positions = jnp.concatenate([poss[::-1], pos_last[None]], axis=0)
 
-    # targets[b, positions[t, b]] via the same gather-free one-hot select
-    # (a (T*B)-row gather also serializes on TPU)
-    slot = jnp.arange(s_total, dtype=jnp.int32)[None, None, :]
-    hit = jnp.clip(positions, 0)[:, :, None] == slot  # (T, B, S)
-    picked = jnp.sum(jnp.where(hit, lat.targets[None], 0), axis=2)
-    labels = jnp.where(positions >= 0, picked, -1).astype(jnp.int32)
+    labels = _labels_from_positions(positions, lat.targets)
     return AlignmentResult(scores, positions, labels)

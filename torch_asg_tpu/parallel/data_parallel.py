@@ -149,6 +149,7 @@ def viterbi_align_dp(
     target_lengths: Optional[jnp.ndarray] = None,
     *,
     axis: str = "data",
+    impl: str = "auto",
 ):
     """``ops.viterbi.viterbi_align`` (forced alignment) with the batch
     sharded over ``mesh[axis]``; same contract as ``viterbi_decode_dp``."""
@@ -171,7 +172,7 @@ def viterbi_align_dp(
         check_vma=False,
     )
     def _shard(trans, inp, tgt, li, lo):
-        res = viterbi_align(trans, inp, tgt, li, lo)
+        res = viterbi_align(trans, inp, tgt, li, lo, impl=impl)
         return res.scores, res.positions, res.labels
 
     scores, positions, labels = _shard(
