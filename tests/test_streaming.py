@@ -25,6 +25,9 @@ from torch_asg_tpu.ops.streaming import (
     streaming_viterbi_update,
 )
 from torch_asg_tpu.ops.streaming import (
+    streaming_align_backtrace,
+    streaming_align_init,
+    streaming_align_update,
     streaming_nbest_backtrace,
     streaming_nbest_init,
     streaming_nbest_update,
@@ -32,7 +35,7 @@ from torch_asg_tpu.ops.streaming import (
     streaming_wfsa_scores,
     streaming_wfsa_update,
 )
-from torch_asg_tpu.ops.viterbi import viterbi_decode, viterbi_nbest
+from torch_asg_tpu.ops.viterbi import viterbi_align, viterbi_decode, viterbi_nbest
 from torch_asg_tpu.ops.wfsa import chain_wfsa, full_wfsa, wfsa_score
 
 B, N, S = 3, 6, 4
@@ -348,6 +351,106 @@ def test_streaming_nbest_matches_oneshot(rng, splits):
             np.testing.assert_array_equal(
                 gp[:, b, r][gp[:, b, r] >= 0], wp[:, b, r][wp[:, b, r] >= 0]
             )
+
+
+@pytest.mark.parametrize("splits", [[12], [4, 4, 4], [1] * 12, [5, 7]])
+def test_streaming_align_matches_oneshot(rng, splits):
+    """Streaming forced alignment == one-shot viterbi_align on the
+    consumed prefix: scores, positions, AND labels (shared stay/advance
+    tie convention), ragged rates included."""
+    t_total = 12
+    transition, inputs, targets, target_lengths = _problem(rng, t_total)
+    lengths = jnp.asarray([12, 9, 6], jnp.int32)
+
+    st = streaming_align_init(B, S, dtype=jnp.float64)
+    advs, vals = [], []
+    off = 0
+    for t_c in splits:
+        cl = jnp.clip(lengths - off, 0, t_c).astype(jnp.int32)
+        st, (adv, v) = streaming_align_update(
+            transition, st, inputs[off : off + t_c], targets,
+            chunk_lengths=cl, target_lengths=target_lengths,
+        )
+        advs.append(adv)
+        vals.append(v)
+        off += t_c
+    got = streaming_align_backtrace(
+        st, jnp.concatenate(advs), jnp.concatenate(vals), targets,
+        target_lengths=target_lengths,
+    )
+    want = viterbi_align(transition, inputs, targets, lengths, target_lengths)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-12)
+    np.testing.assert_array_equal(got.positions, want.positions)
+    np.testing.assert_array_equal(got.labels, want.labels)
+
+
+def test_streaming_align_stream_targets_precompute(rng):
+    """The stream_targets fast path is exact vs raw-targets updates, and
+    the backtrace accepts either target source (clipped tgt view)."""
+    t_total = 10
+    transition, inputs, targets, target_lengths = _problem(rng, t_total)
+    pre = streaming_targets(
+        transition, targets, N, target_lengths, dtype=jnp.float64
+    )
+
+    st_a = streaming_align_init(B, S, dtype=jnp.float64)
+    st_b = streaming_align_init(B, S, dtype=jnp.float64)
+    advs, vals = [], []
+    for off in (0, 5):
+        chunk = inputs[off : off + 5]
+        st_a, (adv_a, v_a) = streaming_align_update(
+            transition, st_a, chunk, stream_targets=pre
+        )
+        st_b, (adv_b, v_b) = streaming_align_update(
+            transition, st_b, chunk, targets,
+            target_lengths=target_lengths,
+        )
+        np.testing.assert_array_equal(np.asarray(adv_a), np.asarray(adv_b))
+        advs.append(adv_a)
+        vals.append(v_a)
+    np.testing.assert_allclose(
+        np.asarray(st_a.delta), np.asarray(st_b.delta), rtol=1e-12
+    )
+    got = streaming_align_backtrace(
+        st_a, jnp.concatenate(advs), jnp.concatenate(vals),
+        stream_targets=pre, target_lengths=target_lengths,
+    )
+    want = viterbi_align(
+        transition, inputs, targets,
+        jnp.full((B,), t_total, jnp.int32), target_lengths,
+    )
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-12)
+    np.testing.assert_array_equal(got.positions, want.positions)
+    np.testing.assert_array_equal(got.labels, want.labels)
+    with pytest.raises(ValueError, match="not both"):
+        streaming_align_update(
+            transition, st_a, inputs[:2], targets, stream_targets=pre
+        )
+
+
+def test_streaming_align_partial_and_empty(rng):
+    """Mid-stream backtrace aligns the prefix; an element with no frames
+    yet scores -inf with an all -1 alignment."""
+    t_total = 8
+    transition, inputs, targets, target_lengths = _problem(rng, t_total)
+    st = streaming_align_init(B, S, dtype=jnp.float64)
+    chunk_lengths = jnp.asarray([5, 3, 0], jnp.int32)
+    st, (adv, v) = streaming_align_update(
+        transition, st, inputs[:5], targets, chunk_lengths=chunk_lengths,
+        target_lengths=target_lengths,
+    )
+    got = streaming_align_backtrace(
+        st, adv, v, targets, target_lengths=target_lengths
+    )
+    want = viterbi_align(
+        transition, inputs[:5], targets, chunk_lengths, target_lengths
+    )
+    gp, wp = np.asarray(got.positions), np.asarray(want.positions)
+    for b in range(2):
+        np.testing.assert_allclose(got.scores[b], want.scores[b], rtol=1e-12)
+        np.testing.assert_array_equal(gp[:, b], wp[:, b])
+    assert np.isneginf(np.asarray(got.scores)[2])
+    assert np.all(gp[:, 2] == -1)
 
 
 @pytest.mark.parametrize("splits", [[10], [4, 3, 3], [1] * 10])

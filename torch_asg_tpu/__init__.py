@@ -11,7 +11,9 @@ from .ops.fcc import fcc_score
 from .ops.posteriors import fac_posteriors, fcc_posteriors
 from .ops.viterbi import (alignment_segments, viterbi_align, viterbi_decode,
                           viterbi_nbest)
-from .ops.streaming import (StreamingNBestState, StreamingState,
+from .ops.streaming import (StreamingAlignState, StreamingNBestState,
+                            StreamingState, streaming_align_backtrace,
+                            streaming_align_init, streaming_align_update,
                             StreamingViterbiState, StreamingWFSAState,
                             StreamTargets, streaming_init,
                             streaming_nbest_backtrace, streaming_nbest_init,
@@ -63,4 +65,8 @@ __all__ = [
     "streaming_nbest_init",
     "streaming_nbest_update",
     "streaming_nbest_backtrace",
+    "StreamingAlignState",
+    "streaming_align_init",
+    "streaming_align_update",
+    "streaming_align_backtrace",
 ]

@@ -18,6 +18,9 @@ tests/test_streaming.py:
   * ``streaming_viterbi_*``  best path ((B, N) delta carry + per-chunk
                              backpointers, backtrace at any prefix).
   * ``streaming_nbest_*``    k best distinct paths ((B, N, k) carry).
+  * ``streaming_align_*``    forced alignment ((B, S) tropical carry +
+                             per-chunk advance bits; live segmentation
+                             of a known transcript at any prefix).
   * ``streaming_wfsa_*``     generic-acceptor acceptance scores
                              ((B, num_states) carry).
 
@@ -151,32 +154,11 @@ def streaming_update(
     transition = transition.astype(chunk.dtype)
     if chunk_lengths is None:
         chunk_lengths = jnp.full((num_batches,), t_c, jnp.int32)
-    if stream_targets is not None:
-        if targets is not None or target_lengths is not None:
-            raise ValueError(
-                "pass either stream_targets OR targets/target_lengths, "
-                "not both (stream_targets already bakes them in; a "
-                "conflicting pair would be silently ignored)"
-            )
-        s_total = stream_targets.tgt.shape[1]
-        tmask = time_mask(t_c, chunk_lengths)
-        aligned_inputs = gather_aligned_emissions(
-            chunk, stream_targets.tgt, stream_targets.onehot, tmask,
-            stream_targets.smask,
-        )
-        self_trans = stream_targets.self_trans
-        next_trans = stream_targets.next_trans
-    else:
-        if targets is None:
-            raise ValueError("pass either targets or stream_targets")
-        s_total = targets.shape[1]
-        if target_lengths is None:
-            target_lengths = jnp.full((num_batches,), s_total, jnp.int32)
-        lat = make_aligned(
-            transition, chunk, targets, chunk_lengths, target_lengths
-        )
-        aligned_inputs = lat.inputs
-        self_trans, next_trans = lat.self_trans, lat.next_trans
+    aligned_inputs, self_trans, next_trans, _ = _aligned_chunk(
+        transition, chunk, targets, chunk_lengths, target_lengths,
+        stream_targets,
+    )
+    s_total = aligned_inputs.shape[2]
     if stream_targets is not None and stream_targets.e_t is not None:
         if jnp.promote_types(stream_targets.e_t.dtype, chunk.dtype) != (
             stream_targets.e_t.dtype
@@ -458,6 +440,172 @@ def streaming_nbest_backtrace(
     flats = emits[::-1]
     paths = jnp.where(flats >= 0, flats // k, -1).astype(jnp.int32)
     return NBestResult(scores, paths)
+
+
+# ---------------------------------------------------------------------------
+# Streaming forced alignment
+# ---------------------------------------------------------------------------
+#
+# The aligned (FAC) lattice in the tropical semiring: carry the (B, S)
+# best-segmentation scores, emit one ADVANCE BIT per (b, s) per frame
+# (did the best path into this slot come from slot s-1?), backtrace the
+# consumed prefix's segmentation at any point.  Online counterpart of
+# ``viterbi_align`` (live caption alignment while the transcript is
+# known); same target-side precompute (``streaming_targets``) as the
+# streaming scorer.
+
+
+class StreamingAlignState(NamedTuple):
+    delta: jnp.ndarray  # (B, S) best-alignment score ending at each slot
+    frames_seen: jnp.ndarray  # (B,) int32
+
+
+def streaming_align_init(
+    num_batches: int, s_total: int, dtype=jnp.float32
+) -> StreamingAlignState:
+    dtype = _accumulation_dtype(dtype)
+    return StreamingAlignState(
+        delta=jnp.full((num_batches, s_total), NEG_INF, dtype),
+        frames_seen=jnp.zeros((num_batches,), jnp.int32),
+    )
+
+
+def _aligned_chunk(transition, chunk, targets, chunk_lengths,
+                   target_lengths, stream_targets):
+    """Target-side lattice rows + aligned chunk emissions (the shared
+    either/or handling of ``streaming_update``)."""
+    t_c, num_batches, _ = chunk.shape
+    if stream_targets is not None:
+        if targets is not None or target_lengths is not None:
+            raise ValueError(
+                "pass either stream_targets OR targets/target_lengths, "
+                "not both (stream_targets already bakes them in; a "
+                "conflicting pair would be silently ignored)"
+            )
+        tmask = time_mask(t_c, chunk_lengths)
+        aligned_inputs = gather_aligned_emissions(
+            chunk, stream_targets.tgt, stream_targets.onehot, tmask,
+            stream_targets.smask,
+        )
+        return (aligned_inputs, stream_targets.self_trans,
+                stream_targets.next_trans, stream_targets.tgt)
+    if targets is None:
+        raise ValueError("pass either targets or stream_targets")
+    if target_lengths is None:
+        target_lengths = jnp.full(
+            (num_batches,), targets.shape[1], jnp.int32
+        )
+    lat = make_aligned(
+        transition, chunk, targets, chunk_lengths, target_lengths
+    )
+    return lat.inputs, lat.self_trans, lat.next_trans, lat.targets
+
+
+def streaming_align_update(
+    transition: jnp.ndarray,
+    state: StreamingAlignState,
+    chunk: jnp.ndarray,
+    targets: Optional[jnp.ndarray] = None,
+    chunk_lengths: Optional[jnp.ndarray] = None,
+    target_lengths: Optional[jnp.ndarray] = None,
+    stream_targets: Optional[StreamTargets] = None,
+) -> tuple:
+    """Consume a (T_c, B, N) emission chunk.
+
+    Returns ``(state, (adv, valid))`` with adv (T_c, B, S) int32 advance
+    bits (1 iff the best path into slot s at that frame advanced from
+    slot s-1; 0 at first/invalid frames) and valid (T_c, B) bool.
+    Concatenated blocks compose under ``streaming_align_backtrace`` even
+    when batch elements advance at different rates.  targets /
+    target_lengths (or the ``stream_targets`` precompute) must be
+    identical across calls — the aligned lattice is fixed per stream.
+    """
+    t_c, num_batches, num_labels = chunk.shape
+    if chunk.dtype in (jnp.bfloat16, jnp.float16):
+        chunk = chunk.astype(jnp.float32)
+    chunk = chunk.astype(state.delta.dtype)
+    transition = transition.astype(chunk.dtype)
+    if chunk_lengths is None:
+        chunk_lengths = jnp.full((num_batches,), t_c, jnp.int32)
+    aligned_inputs, self_trans, next_trans, _ = _aligned_chunk(
+        transition, chunk, targets, chunk_lengths, target_lengths,
+        stream_targets,
+    )
+    s_total = aligned_inputs.shape[2]
+
+    def step(carry, xs):
+        d, seen = carry
+        t, ai_t = xs
+        valid = (t < chunk_lengths)[:, None]
+        first = (seen == 0)[:, None] & valid
+        stay = d + self_trans
+        move = _shift_right_s(d + next_trans)
+        d_new = ai_t + jnp.maximum(stay, move)
+        seed = jnp.where(jnp.arange(s_total)[None, :] == 0, ai_t, NEG_INF)
+        d_new = jnp.where(first, seed, d_new)
+        d = jnp.where(valid, d_new, d)
+        adv = jnp.where(valid & ~first, move > stay, False)
+        seen = seen + valid[:, 0].astype(jnp.int32)
+        return (d, seen), (adv.astype(jnp.int32), valid[:, 0])
+
+    ts = jnp.arange(t_c)
+    (d, seen), (adv, valid) = lax.scan(
+        step, (state.delta, state.frames_seen), (ts, aligned_inputs)
+    )
+    return StreamingAlignState(d, seen), (adv, valid)
+
+
+def streaming_align_backtrace(
+    state: StreamingAlignState,
+    adv: jnp.ndarray,
+    valid: jnp.ndarray,
+    targets: Optional[jnp.ndarray] = None,
+    target_lengths: Optional[jnp.ndarray] = None,
+    stream_targets: Optional[StreamTargets] = None,
+) -> "AlignmentResult":
+    """Best monotonic alignment over all frames consumed so far.
+
+    adv (T, B, S) / valid (T, B): the per-chunk outputs of
+    ``streaming_align_update`` concatenated along the time axis.  Emits
+    -1 at frames an element did not consume; elements with no frames yet
+    score -inf with an all -1 alignment.  ``targets`` (or the stream's
+    ``stream_targets``, whose clipped view matches the one-shot API's
+    label output exactly) supplies the emitted labels.
+    """
+    from .viterbi import AlignmentResult, _labels_from_positions
+
+    num_batches, s_total = state.delta.shape
+    if stream_targets is not None:
+        if targets is not None:
+            raise ValueError(
+                "pass either stream_targets OR targets, not both"
+            )
+        tgt = stream_targets.tgt
+    else:
+        if targets is None:
+            raise ValueError("pass either targets or stream_targets")
+        tgt = targets
+    if target_lengths is None:
+        target_lengths = jnp.full((num_batches,), s_total, jnp.int32)
+    end_s = (target_lengths - 1).astype(jnp.int32)
+    any_frames = state.frames_seen > 0
+    scores = jnp.where(
+        any_frames,
+        _select_row(state.delta, end_s),
+        jnp.full((num_batches,), NEG_INF, state.delta.dtype),
+    )
+
+    def bstep(pos, xs):
+        adv_t, v_t = xs  # (B, S), (B,)
+        emit = jnp.where(v_t, pos, -1)
+        took = _select_row(adv_t, jnp.clip(pos, 0))
+        pos = jnp.where(v_t, jnp.clip(pos, 0) - took, pos)
+        return pos, emit
+
+    _, emits = lax.scan(bstep, end_s, (adv[::-1], valid[::-1]))
+    positions = emits[::-1]
+    labels = _labels_from_positions(positions, tgt)
+    return AlignmentResult(scores, positions, labels)
 
 
 # ---------------------------------------------------------------------------
