@@ -217,3 +217,26 @@ def test_forward_only_lowers_to_storeless_kernel(rng):
         trans, inputs
     )
     assert _pallas_out_counts(grad_jaxpr) == [4, 5]
+
+
+def test_fused_bts_layout_knob_bit_identical(rng, monkeypatch):
+    """ASG_BTS=1 streams the aligned emissions in the batched-dot-native
+    (B, T, S) layout ((B, kb, S) blocks + in-kernel swapaxes) — values
+    and gradients must be bit-identical to the default (T, B, S) stream
+    (scripts/exp_r3_bts.py probes the on-chip layout-copy saving)."""
+    trans, inputs, targets, li, lo = _case(rng, 24, 5, 6, 7)
+
+    def vg():
+        def loss(tr_, inp_):
+            full, aligned = asg_scores_fused(tr_, inp_, targets, li, lo)
+            return jnp.sum(full - aligned)
+
+        return jax.value_and_grad(loss, argnums=(0, 1))(trans, inputs)
+
+    monkeypatch.delenv("ASG_BTS", raising=False)
+    v0, (gt0, gi0) = vg()
+    monkeypatch.setenv("ASG_BTS", "1")
+    v1, (gt1, gi1) = vg()
+    assert jnp.array_equal(v0, v1)
+    assert jnp.array_equal(gt0, gt1)
+    assert jnp.array_equal(gi0, gi1)

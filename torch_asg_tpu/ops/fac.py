@@ -70,14 +70,23 @@ class AlignedLattice(NamedTuple):
     onehot: jnp.ndarray = None  # (B, S, N) one-hot of targets (0 where s invalid)
 
 
-def gather_aligned_emissions(inputs, tgt, onehot, tmask, smask):
+def gather_aligned_emissions(inputs, tgt, onehot, tmask, smask,
+                             layout="tbs"):
     """(T, B, S) aligned emission gather ``I~[t,b,s] = I[t,b,tgt[b,s]]``,
     -inf outside ``tmask & smask``.  ``onehot`` is the smask-masked
     (B, S, N) indicator (the MXU path) or None for the true-gather path
     (wordpiece-scale N).  Factored out of ``make_aligned`` so chunk-wise
     callers (ops/streaming.py) can redo ONLY this per chunk while the
-    transition gathers stay precomputed."""
+    transition gathers stay precomputed.
+
+    ``layout='bts'`` returns the SAME values shaped (B, T, S) — the
+    batched dot's native output order, which XLA lays out row-major with
+    no relayout copy; the fused kernels consume it as (B, kb, S) blocks
+    (scripts/exp_r3_bts.py, PERF_R3 §3's open lead)."""
     if onehot is None:
+        if layout == "bts":
+            out = gather_aligned_emissions(inputs, tgt, None, tmask, smask)
+            return jnp.transpose(out, (1, 0, 2))
         t_total = inputs.shape[0]
         idx = jnp.broadcast_to(tgt[None], (t_total,) + tgt.shape)
         aligned = jnp.take_along_axis(inputs, idx, axis=2)
@@ -90,6 +99,14 @@ def gather_aligned_emissions(inputs, tgt, onehot, tmask, smask):
     # (Real emissions are log-scores; nothing sane approaches -1e30.)
     sentinel = jnp.asarray(-1e30, inputs.dtype)
     safe_inputs = jnp.where(jnp.isfinite(inputs), inputs, sentinel)
+    if layout == "bts":
+        aligned = jnp.einsum(
+            "tbi,bsi->bts", safe_inputs, onehot,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        valid = (jnp.transpose(tmask)[:, :, None] & smask[:, None, :]
+                 & (aligned > 0.5 * sentinel))
+        return jnp.where(valid, aligned, NEG_INF)
     if _einsum_swap():
         # experiment knob (scripts/exp_r3_layout.py): flip the dot
         # orientation (onehot as lhs -> native output order (b, s, t))
@@ -116,6 +133,7 @@ def make_aligned(
     targets: jnp.ndarray,
     input_lengths: jnp.ndarray,
     target_lengths: jnp.ndarray,
+    layout: str = "tbs",
 ) -> AlignedLattice:
     """Vectorized equivalent of the reference's gather kernels (C10a/C10b).
 
@@ -139,7 +157,8 @@ def make_aligned(
     smask = label_mask(s_total, target_lengths)  # (B, S)
 
     if num_labels > _ONEHOT_MAX_LABELS:
-        aligned = gather_aligned_emissions(inputs, tgt, None, tmask, smask)
+        aligned = gather_aligned_emissions(inputs, tgt, None, tmask, smask,
+                                           layout=layout)
         self_trans = jnp.where(smask, transition[tgt, tgt], 0.0)
         next_pairs = transition[tgt[:, 1:], tgt[:, :-1]]
         smask_next = (
@@ -157,7 +176,8 @@ def make_aligned(
 
     onehot = jax.nn.one_hot(tgt, num_labels, dtype=inputs.dtype)  # (B, S, N)
     onehot = onehot * smask[:, :, None].astype(inputs.dtype)
-    aligned = gather_aligned_emissions(inputs, tgt, onehot, tmask, smask)
+    aligned = gather_aligned_emissions(inputs, tgt, onehot, tmask, smask,
+                                       layout=layout)
 
     # Transition gathers T[y_s, y_s] / T[y_{s+1}, y_s] as one-hot matmuls
     # too: advanced-indexing gathers serialize on TPU and cost more than
