@@ -173,6 +173,80 @@ def bench_bigvocab_decode(fetch_s):
     }), flush=True)
 
 
+def bench_align(fetch_s):
+    """Forced alignment: one-shot kernel-vs-XLA at the bench shape plus
+    streaming per-chunk update latency (the r3 additions had no on-chip
+    number — same discipline as the decode kernel's go/no-go)."""
+    from torch_asg_tpu import viterbi_align
+    from torch_asg_tpu.ops.streaming import (
+        streaming_align_init, streaming_align_update, streaming_targets,
+    )
+
+    b, t, n, s = 64, 1000, 30, 50
+    r = np.random.default_rng(2)
+    inputs = jnp.asarray(r.normal(size=(t, b, n)), jnp.float32)
+    trans = jnp.asarray(r.normal(size=(n, n)) * 0.5, jnp.float32)
+    targets = jnp.asarray(r.integers(0, n, size=(b, s)), jnp.int32)
+    li = jnp.full((b,), t, jnp.int32)
+    lo = jnp.full((b,), s, jnp.int32)
+
+    times = {}
+    for impl in ("pallas", "xla"):
+        def al_chain(tr, inp, _impl=impl):
+            def body(inp_c, _):
+                res = viterbi_align(tr, inp_c, targets, li, lo, impl=_impl)
+                # thread positions too: a scores-only chain would DCE the
+                # backtrace (the r2 decode bench fell to exactly that)
+                sc = (res.scores.sum()
+                      + res.positions.sum().astype(res.scores.dtype))
+                return inp_c + 0.0 * sc, sc
+            inp_o, ss = jax.lax.scan(body, inp, None, length=CHAIN_K)
+            return ss[-1], inp_o
+
+        f = jax.jit(al_chain)
+        _mark(f"compile align {impl}")
+        f(trans, inputs)
+        times[impl] = _best(lambda i: f(trans, i), inputs,
+                            lambda _, o: o[1], fetch_s)
+
+    # streaming forced alignment at the serving shape
+    b2, t_c, s2, n2 = 8, 16, 24, 30
+    targets2 = jnp.asarray(r.integers(0, n2, size=(b2, s2)), jnp.int32)
+    lo2 = jnp.full((b2,), s2, jnp.int32)
+    trans2 = jnp.asarray(r.normal(size=(n2, n2)) * 0.5, jnp.float32)
+    chunk = jnp.asarray(r.normal(size=(t_c, b2, n2)), jnp.float32)
+    pre = streaming_targets(trans2, targets2, n2, lo2)
+    st0 = streaming_align_init(b2, s2)
+
+    def al_stream(chunk_in, st_in):
+        def body(carry, _):
+            st, ck = carry
+            st, (adv, valid) = streaming_align_update(
+                trans2, st, ck, stream_targets=pre)
+            ck = ck + 0.0 * (st.delta[0, 0]
+                             + adv.sum().astype(ck.dtype))
+            return (st, ck), None
+        (st, ck), _ = jax.lax.scan(body, (st_in, chunk_in), None,
+                                   length=STREAM_CHAIN)
+        return st, ck
+
+    g = jax.jit(al_stream)
+    _mark("compile streaming align")
+    g(chunk, st0)
+    t_stream = _best(lambda ck: g(ck, st0), chunk, lambda _, out: out[1],
+                     fetch_s, steps=STREAM_CHAIN)
+    print(json.dumps({
+        "row": "forced_align",
+        "shape": {"B": b, "T": t, "N": n, "S": s},
+        "align_pallas_ms": round(times["pallas"], 3),
+        "align_xla_ms": round(times["xla"], 3),
+        "speedup": round(times["xla"] / max(times["pallas"], 1e-9), 2),
+        "stream_shape": {"B": b2, "chunk": t_c, "S": s2, "N": n2},
+        "stream_update_ms_per_chunk": round(t_stream, 3),
+        "backend": jax.default_backend(),
+    }), flush=True)
+
+
 def bench_wfsa(fetch_s):
     """Lexicon-scale acceptor scoring/decoding (E ~ 5k arcs)."""
     from torch_asg_tpu.ops.wfsa import lexicon_wfsa, wfsa_score, wfsa_viterbi
@@ -235,6 +309,7 @@ def main():
     bench_streaming(512, fetch_s)
     bench_bigvocab_decode(fetch_s)
     bench_wfsa(fetch_s)
+    bench_align(fetch_s)
     return 0
 
 
