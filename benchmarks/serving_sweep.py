@@ -139,7 +139,9 @@ def bench_bigvocab_decode(fetch_s):
     def dec_chain(tr, inp):
         def body(inp_c, _):
             res = viterbi_decode(tr, inp_c, li, impl="xla")
-            s = res.scores.sum()
+            # thread paths too: a scores-only chain DCEs the backtrace
+            # (the r2 decode bench fell to exactly that)
+            s = res.scores.sum() + res.paths.sum().astype(res.scores.dtype)
             return inp_c + 0.0 * s, s
         inp_o, ss = jax.lax.scan(body, inp, None, length=2)
         return ss[-1], inp_o
@@ -153,7 +155,7 @@ def bench_bigvocab_decode(fetch_s):
     def nb_chain(tr, inp):
         def body(inp_c, _):
             res = viterbi_nbest(tr, inp_c, k, li)
-            s = res.scores.sum()
+            s = res.scores.sum() + res.paths.sum().astype(res.scores.dtype)
             return inp_c + 0.0 * s, s
         inp_o, ss = jax.lax.scan(body, inp, None, length=2)
         return ss[-1], inp_o
@@ -280,7 +282,9 @@ def bench_wfsa(fetch_s):
     def vit_chain(inp):
         def body(inp_c, _):
             res = wfsa_viterbi(fsa, inp_c, li)
-            s = res.scores.sum()
+            s = (res.scores.sum()
+                 + res.labels.sum().astype(res.scores.dtype)
+                 + res.states.sum().astype(res.scores.dtype))
             return inp_c + 0.0 * s, s
         inp_o, ss = jax.lax.scan(body, inp, None, length=2)
         return ss[-1], inp_o
