@@ -329,3 +329,62 @@ def test_asg_loss_precision_kwarg(rng):
     np.testing.assert_allclose(out_kwarg, out_ctx, rtol=1e-15)
     out_plain = asg_loss(trans, inputs, targets, **kw)
     np.testing.assert_allclose(out_kwarg, out_plain, rtol=1e-10)
+
+
+def _collect_dot_precisions(jaxpr, out):
+    """All dot_general precision params in ``jaxpr``, recursing into
+    sub-jaxprs (scan/cond bodies, pallas_call kernels, custom_vjp)."""
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "dot_general":
+            out.append(eqn.params.get("precision"))
+        for v in eqn.params.values():
+            vs = v if isinstance(v, (tuple, list)) else (v,)
+            for o in vs:
+                inner = getattr(o, "jaxpr", None)
+                if inner is not None and hasattr(inner, "eqns"):
+                    _collect_dot_precisions(inner, out)
+                elif hasattr(o, "eqns"):
+                    _collect_dot_precisions(o, out)
+    return out
+
+
+def _dot_precision_kinds(fn, arg):
+    jx = jax.make_jaxpr(fn)(arg)
+    kinds = set()
+    for p in _collect_dot_precisions(jx.jaxpr, []):
+        if p is None:
+            kinds.add("none")
+        elif isinstance(p, (tuple, list)):
+            kinds.update(str(x) for x in p)
+        else:
+            kinds.add(str(p))
+    return kinds
+
+
+@pytest.mark.parametrize("impl", ["matmul", "fused"])
+def test_precision_kwarg_reaches_backward(rng, impl):
+    """The precision kwarg is baked into the custom_vjp as a static
+    argument, so the BACKWARD chain matmuls — traced after asg_loss has
+    returned and any strict_chain_precision context has exited — also
+    run at the requested precision.  (Regression: the kwarg used to wrap
+    only the forward trace, silently leaving grads at DEFAULT.)"""
+    t_total, num_batches, num_labels, s_total = 8, 2, 5, 3
+    inputs = jnp.asarray(rng.normal(size=(t_total, num_batches, num_labels)))
+    trans = jnp.asarray(rng.normal(size=(num_labels, num_labels)) * 0.5)
+    targets = jnp.asarray(
+        rng.integers(0, num_labels, size=(num_batches, s_total)), jnp.int32
+    )
+
+    def loss(tr, prec):
+        return asg_loss(tr, inputs, targets, impl=impl, precision=prec,
+                        reduction="sum")
+
+    strict = _dot_precision_kinds(
+        jax.grad(lambda tr: loss(tr, jax.lax.Precision.HIGHEST)), trans
+    )
+    assert "DEFAULT" not in strict, strict
+    assert "HIGHEST" in strict
+    # walker sanity: with no override the chain dots ARE DEFAULT, in
+    # both the forward and the backward portion of the same jaxpr
+    plain = _dot_precision_kinds(jax.grad(lambda tr: loss(tr, None)), trans)
+    assert "DEFAULT" in plain, plain

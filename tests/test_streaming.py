@@ -605,3 +605,87 @@ def test_streaming_update_rejects_downcasting_precompute(rng):
     st = streaming_init(B, N, S, dtype=jnp.float64)
     with pytest.raises(ValueError, match="precomputed at"):
         streaming_update(transition, st, inputs[:4], stream_targets=pre)
+
+
+def test_streaming_align_rejects_downcasting_precompute(rng):
+    """The forced-alignment path applies the same precompute-dtype guard
+    as the scorer: a low-precision precompute feeding a higher-precision
+    stream could silently flip near-tie stay/advance decisions."""
+    transition, inputs, targets, target_lengths = _problem(rng, 4)
+    pre = streaming_targets(
+        transition.astype(jnp.float32), targets, N, target_lengths,
+        dtype=jnp.float32,
+    )
+    st = streaming_align_init(B, S, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="precomputed at"):
+        streaming_align_update(transition, st, inputs[:4],
+                               stream_targets=pre)
+
+
+def test_streaming_f64_precompute_feeds_f32_state(rng):
+    """A float64 transition with default-dtype precompute (promoted to
+    f64) feeding the default float32 state must run — the precompute is
+    cast down to the authoritative state dtype, not promoted into the
+    scan carry (regression: carry dtype mismatch TypeError) — and match
+    the one-shot f32 path."""
+    t_total = 8
+    transition, inputs, targets, target_lengths = _problem(rng, t_total)
+    pre = streaming_targets(transition, targets, N, target_lengths)
+    assert pre.self_trans.dtype == jnp.float64
+
+    st = streaming_init(B, N, S)  # f32 state
+    sta = streaming_align_init(B, S)  # f32 align state
+    advs, vals = [], []
+    for off in range(0, t_total, 4):
+        chunk = inputs[off : off + 4].astype(jnp.float32)
+        st = streaming_update(transition, st, chunk, stream_targets=pre)
+        sta, (adv, v) = streaming_align_update(
+            transition, sta, chunk, stream_targets=pre
+        )
+        advs.append(adv)
+        vals.append(v)
+    assert st.alpha_full.dtype == jnp.float32
+    assert sta.delta.dtype == jnp.float32
+
+    tr32 = transition.astype(jnp.float32)
+    in32 = inputs.astype(jnp.float32)
+    li = jnp.full((B,), t_total, jnp.int32)
+    full, aligned = streaming_scores(st, target_lengths)
+    np.testing.assert_allclose(
+        full, fcc_score(tr32, in32, li), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        aligned, fac_score(tr32, in32, targets, li, target_lengths),
+        rtol=2e-5,
+    )
+    got = streaming_align_backtrace(
+        sta, jnp.concatenate(advs), jnp.concatenate(vals),
+        stream_targets=pre,
+    )
+    want = viterbi_align(tr32, in32, targets, li, target_lengths)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=2e-5)
+    np.testing.assert_array_equal(got.positions, want.positions)
+
+
+def test_streaming_align_backtrace_derives_ragged_lengths(rng):
+    """With a ragged-length precompute and NO explicit target_lengths,
+    the backtrace must anchor at the baked-in final slot (from smask),
+    not at S-1 (regression: silently wrong alignments)."""
+    t_total = 10
+    transition, inputs, targets, target_lengths = _problem(rng, t_total)
+    assert int(target_lengths.min()) < S  # ragged by construction
+    pre = streaming_targets(
+        transition, targets, N, target_lengths, dtype=jnp.float64
+    )
+    st = streaming_align_init(B, S, dtype=jnp.float64)
+    st, (adv, v) = streaming_align_update(
+        transition, st, inputs, stream_targets=pre
+    )
+    got = streaming_align_backtrace(st, adv, v, stream_targets=pre)
+    want = viterbi_align(
+        transition, inputs, targets,
+        jnp.full((B,), t_total, jnp.int32), target_lengths,
+    )
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-12)
+    np.testing.assert_array_equal(got.positions, want.positions)
+    np.testing.assert_array_equal(got.labels, want.labels)

@@ -171,12 +171,16 @@ def asg_loss(
         tau = 1 is the standard log semiring; tau -> 0 approaches the
         tropical (Viterbi) semiring.
       precision: MXU precision for the exp-domain chain matmuls of the
-        'fused'/'pallas'/'matmul' paths; None = the library default (one
+        'fused' and 'matmul' paths; None = the library default (one
         bf16 pass — ~2e-5 relative score drift at T=1000, re-gated against
         HIGHEST every bench round).  Pass ``jax.lax.Precision.HIGHEST``
         for bit-conservative fp32 chains without reaching for the
-        ``semiring.strict_chain_precision`` context manager.  Applies at
-        trace time (on-TPU Mosaic supports DEFAULT and HIGHEST only).
+        ``semiring.strict_chain_precision`` context manager.  The value
+        is captured at forward-trace time and baked into the custom_vjp
+        as a static argument, so it governs the backward kernels too
+        (which JAX traces later, outside any context).  The 'pallas'
+        mid-tier and the aligned-lattice gathers are pinned HIGHEST
+        regardless.  On-TPU Mosaic supports DEFAULT and HIGHEST only.
 
     Numeric precondition (fp32 exp-domain paths: 'fused', 'pallas',
     'matmul'): the transition-matrix SPREAD max(T) - min(finite T) must

@@ -32,11 +32,19 @@ TPU-first design decisions
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .semiring import NEG_INF, chain_precision, logsumexp, masked_softmax
+from .semiring import (
+    NEG_INF,
+    chain_precision,
+    logsumexp,
+    masked_softmax,
+    strict_chain_precision,
+)
 from ..utils.lengths import mask_emissions
 
 
@@ -223,25 +231,32 @@ def _beta_scan_mm(transition, inputs_m, input_lengths):
     return jnp.concatenate([rest[::-1], b_last[None]], axis=0)
 
 
-@jax.custom_vjp
-def fcc_score_matmul(
-    transition: jnp.ndarray, inputs: jnp.ndarray, input_lengths: jnp.ndarray
-) -> jnp.ndarray:
-    """fcc_score via the matmul formulation; same contract, large-N safe."""
-    inputs_m = mask_emissions(inputs, input_lengths)
-    beta = _beta_scan_mm(transition, inputs_m, input_lengths)
-    return _score_from_beta(beta[0], inputs_m[0])
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fcc_mm_p(precision, transition, inputs, input_lengths):
+    with strict_chain_precision(precision):
+        inputs_m = mask_emissions(inputs, input_lengths)
+        beta = _beta_scan_mm(transition, inputs_m, input_lengths)
+        return _score_from_beta(beta[0], inputs_m[0])
 
 
-def _fcc_mm_fwd(transition, inputs, input_lengths):
-    inputs_m = mask_emissions(inputs, input_lengths)
-    alpha = _alpha_scan_mm(transition, inputs_m)
-    beta = _beta_scan_mm(transition, inputs_m, input_lengths)
-    score = _score_from_beta(beta[0], inputs_m[0])
+def _fcc_mm_fwd(precision, transition, inputs, input_lengths):
+    with strict_chain_precision(precision):
+        inputs_m = mask_emissions(inputs, input_lengths)
+        alpha = _alpha_scan_mm(transition, inputs_m)
+        beta = _beta_scan_mm(transition, inputs_m, input_lengths)
+        score = _score_from_beta(beta[0], inputs_m[0])
     return score, (transition, inputs_m, alpha, beta)
 
 
-def _fcc_mm_bwd(res, g):
+def _fcc_mm_bwd(precision, res, g):
+    # The context must wrap the bwd trace too: custom_vjp traces this
+    # rule during the backward pass, typically after the caller's
+    # strict_chain_precision context has already exited.
+    with strict_chain_precision(precision):
+        return _fcc_mm_bwd_body(res, g)
+
+
+def _fcc_mm_bwd_body(res, g):
     transition, inputs_m, alpha, beta = res
     gamma = alpha + beta
     grad_inputs = masked_softmax(gamma, axis=2) * g[None, :, None]
@@ -274,4 +289,19 @@ def _fcc_mm_bwd(res, g):
     return (acc * e).astype(transition.dtype), grad_inputs, None
 
 
-fcc_score_matmul.defvjp(_fcc_mm_fwd, _fcc_mm_bwd)
+_fcc_mm_p.defvjp(_fcc_mm_fwd, _fcc_mm_bwd)
+
+
+def fcc_score_matmul(
+    transition: jnp.ndarray, inputs: jnp.ndarray, input_lengths: jnp.ndarray
+) -> jnp.ndarray:
+    """fcc_score via the matmul formulation; same contract, large-N safe.
+
+    The ambient chain precision (``semiring.chain_precision()``) is
+    captured HERE, at forward-trace time, and baked into the custom_vjp
+    as a static argument — so the backward rule, which JAX traces after
+    any ``strict_chain_precision`` context has exited, still runs its
+    chain matmul at the precision that was in force when the loss was
+    traced (``asg_loss(precision=...)`` relies on this).
+    """
+    return _fcc_mm_p(chain_precision(), transition, inputs, input_lengths)

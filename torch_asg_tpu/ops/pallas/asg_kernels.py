@@ -569,45 +569,49 @@ def _fix_scores(sful, sfac, input_lengths, c, num_batches):
     return full, aligned
 
 
-@jax.custom_vjp
-def asg_scores_fused(
-    transition: jnp.ndarray,
-    inputs: jnp.ndarray,
-    targets: jnp.ndarray,
-    input_lengths: jnp.ndarray,
-    target_lengths: jnp.ndarray,
-):
-    """(full_scores, aligned_scores), each (B,) — one fused TPU kernel.
-
-    The primal runs the beta walk without stores (forward-only scoring,
-    mirroring ``streamlined_fast_gpu.cpp:24-94``).
-    """
-    lat, ip, ap, e, e_t, self_p, next_p, li_col, lo_col, c, dims = _prepare(
-        transition, inputs, targets, input_lengths, target_lengths
-    )
-    num_batches, num_labels = dims[1], dims[2]
-    geom = (num_labels, dims[5], dims[6])
-    sful, sfac = _run_fwd(
-        li_col, lo_col, e, self_p, next_p, ip, ap, geom, store=False
-    )
-    return _fix_scores(sful, sfac, input_lengths, c, num_batches)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_p(precision, transition, inputs, targets, input_lengths,
+             target_lengths):
+    with strict_chain_precision(precision):
+        lat, ip, ap, e, e_t, self_p, next_p, li_col, lo_col, c, dims = (
+            _prepare(transition, inputs, targets, input_lengths,
+                     target_lengths)
+        )
+        num_batches, num_labels = dims[1], dims[2]
+        geom = (num_labels, dims[5], dims[6])
+        sful, sfac = _run_fwd(
+            li_col, lo_col, e, self_p, next_p, ip, ap, geom, store=False
+        )
+        return _fix_scores(sful, sfac, input_lengths, c, num_batches)
 
 
-def _fused_fwd(transition, inputs, targets, input_lengths, target_lengths):
-    lat, ip, ap, e, e_t, self_p, next_p, li_col, lo_col, c, dims = _prepare(
-        transition, inputs, targets, input_lengths, target_lengths
-    )
-    num_batches, num_labels = dims[1], dims[2]
-    geom = (num_labels, dims[5], dims[6])
-    pb, qb, sful, sfac = _run_fwd(
-        li_col, lo_col, e, self_p, next_p, ip, ap, geom, store=True
-    )
-    scores = _fix_scores(sful, sfac, input_lengths, c, num_batches)
+def _fused_fwd(precision, transition, inputs, targets, input_lengths,
+               target_lengths):
+    with strict_chain_precision(precision):
+        lat, ip, ap, e, e_t, self_p, next_p, li_col, lo_col, c, dims = (
+            _prepare(transition, inputs, targets, input_lengths,
+                     target_lengths)
+        )
+        num_batches, num_labels = dims[1], dims[2]
+        geom = (num_labels, dims[5], dims[6])
+        pb, qb, sful, sfac = _run_fwd(
+            li_col, lo_col, e, self_p, next_p, ip, ap, geom, store=True
+        )
+        scores = _fix_scores(sful, sfac, input_lengths, c, num_batches)
     res = (lat, ip, ap, e, e_t, self_p, next_p, li_col, pb, qb, dims)
     return scores, res
 
 
-def _fused_bwd(res, g):
+def _fused_bwd(precision, res, g):
+    # custom_vjp traces this rule during the backward pass, typically
+    # after the caller's strict_chain_precision context has exited; the
+    # captured static precision re-enters it so the bwd kernel's chain
+    # matmuls run at the precision the loss was traced at.
+    with strict_chain_precision(precision):
+        return _fused_bwd_body(res, g)
+
+
+def _fused_bwd_body(res, g):
     gful, gfac = g
     lat, ip, ap, e, e_t, self_p, next_p, li_col, pb, qb, dims = res
     t_total, num_batches, num_labels, s_total, b_pad, n_pad, s_pad = dims
@@ -636,4 +640,24 @@ def _fused_bwd(res, g):
     )
 
 
-asg_scores_fused.defvjp(_fused_fwd, _fused_bwd)
+_fused_p.defvjp(_fused_fwd, _fused_bwd)
+
+
+def asg_scores_fused(
+    transition: jnp.ndarray,
+    inputs: jnp.ndarray,
+    targets: jnp.ndarray,
+    input_lengths: jnp.ndarray,
+    target_lengths: jnp.ndarray,
+):
+    """(full_scores, aligned_scores), each (B,) — one fused TPU kernel.
+
+    The primal runs the beta walk without stores (forward-only scoring,
+    mirroring ``streamlined_fast_gpu.cpp:24-94``).  The ambient chain
+    precision is captured here at forward-trace time and baked into the
+    custom_vjp as a static argument, so ``asg_loss(precision=...)``
+    reaches the backward kernel even though JAX traces it after the
+    context has exited.
+    """
+    return _fused_p(_chain_precision(), transition, inputs, targets,
+                    input_lengths, target_lengths)

@@ -137,8 +137,17 @@ def viterbi_forward_pallas(transition, inputs, input_lengths):
     k_idx = jnp.arange(k_pad)[:, None]  # rotation index
     j_idx = (i_idx + k_idx) % num_labels  # source label per (k, i)
     valid = (i_idx < num_labels) & (k_idx < num_labels)
-    i_mod = jnp.broadcast_to(i_idx % num_labels, j_idx.shape)
-    trot = jnp.where(valid, transition[i_mod, j_idx], _NI).astype(dt)
+    # trot[k, i] = T[i, (i+k) mod N]: the k-th circulant diagonal of
+    # [T|T], all N of them extracted at once by the classic pad-and-
+    # reshape trick (flatten (N, 2N), pad N, view as (N, 2N+1): column k
+    # walks diagonal k) — no advanced-indexing gather (serializes on
+    # TPU; repo convention, see CLAUDE.md)
+    tdup = jnp.concatenate([transition, transition], axis=1).reshape(-1)
+    tdup = jnp.concatenate([tdup, jnp.zeros((num_labels,), tdup.dtype)])
+    diags = tdup.reshape(num_labels, 2 * num_labels + 1).T[:num_labels]
+    trot = jnp.where(valid, pad_axis(
+        pad_axis(diags.astype(dt), k_pad, 0, 0.0), dup_pad, 1, 0.0
+    ), _NI)
     jidx = jnp.where(valid, j_idx, 0).astype(jnp.int32)
     li_col = pad_axis(input_lengths.astype(jnp.int32), b_pad, 0, 1)[:, None]
 

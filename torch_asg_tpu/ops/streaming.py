@@ -482,13 +482,29 @@ def _aligned_chunk(transition, chunk, targets, chunk_lengths,
                 "not both (stream_targets already bakes them in; a "
                 "conflicting pair would be silently ignored)"
             )
+        st_dt = stream_targets.self_trans.dtype
+        if jnp.promote_types(st_dt, chunk.dtype) != st_dt:
+            # precompute at LOWER precision than the state: rounded
+            # lattice rows would silently lose parity with one-shot
+            raise ValueError(
+                f"stream_targets was precomputed at {st_dt} but the "
+                f"streaming state accumulates at {chunk.dtype}; rebuild "
+                f"with streaming_targets(..., dtype={chunk.dtype})"
+            )
+        # precompute at HIGHER precision (e.g. f64 transition feeding an
+        # f32 stream): cast down to the state dtype so the scan carry
+        # dtype is stable — the state dtype is authoritative
+        dt = chunk.dtype
+        onehot = (None if stream_targets.onehot is None
+                  else stream_targets.onehot.astype(dt))
         tmask = time_mask(t_c, chunk_lengths)
         aligned_inputs = gather_aligned_emissions(
-            chunk, stream_targets.tgt, stream_targets.onehot, tmask,
+            chunk, stream_targets.tgt, onehot, tmask,
             stream_targets.smask,
         )
-        return (aligned_inputs, stream_targets.self_trans,
-                stream_targets.next_trans, stream_targets.tgt)
+        return (aligned_inputs.astype(dt),
+                stream_targets.self_trans.astype(dt),
+                stream_targets.next_trans.astype(dt), stream_targets.tgt)
     if targets is None:
         raise ValueError("pass either targets or stream_targets")
     if target_lengths is None:
@@ -581,6 +597,13 @@ def streaming_align_backtrace(
                 "pass either stream_targets OR targets, not both"
             )
         tgt = stream_targets.tgt
+        if target_lengths is None:
+            # the precompute baked the ragged lengths into smask;
+            # defaulting to full S here would anchor the backtrace at
+            # slot S-1 and walk back from the wrong final slot
+            target_lengths = jnp.sum(
+                stream_targets.smask, axis=1
+            ).astype(jnp.int32)
     else:
         if targets is None:
             raise ValueError("pass either targets or stream_targets")

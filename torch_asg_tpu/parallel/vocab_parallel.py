@@ -42,7 +42,12 @@ from ..ops.fac import (
     aligned_domain_grads,
 )
 from ..asg import _prep, _reduce
-from ..ops.semiring import NEG_INF, chain_precision, logsumexp
+from ..ops.semiring import (
+    NEG_INF,
+    chain_precision,
+    logsumexp,
+    strict_chain_precision,
+)
 from ..utils.lengths import label_mask, mask_emissions, time_mask
 
 # ---------------------------------------------------------------------------
@@ -385,18 +390,26 @@ def _get_asg_vp(mesh: Mesh, axis: str):
         )
         return gt_rows, gi
 
-    @jax.custom_vjp
-    def asg_vp(transition, inputs, targets, input_lengths, target_lengths):
-        return smap(
-            primal_local, (spec_t, spec_i, rep, rep, rep), rep
-        )(transition, inputs, targets, input_lengths, target_lengths)
+    # precision is a static leading argument captured by the caller at
+    # forward-trace time (see ops/fcc.py:fcc_score_matmul): the bwd rule
+    # is traced after any strict_chain_precision context has exited, so
+    # the ambient read inside bwd_local would otherwise see DEFAULT
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+    def asg_vp(precision, transition, inputs, targets, input_lengths,
+               target_lengths):
+        with strict_chain_precision(precision):
+            return smap(
+                primal_local, (spec_t, spec_i, rep, rep, rep), rep
+            )(transition, inputs, targets, input_lengths, target_lengths)
 
-    def fwd(transition, inputs, targets, input_lengths, target_lengths):
-        outs = smap(
-            fwd_local,
-            (spec_t, spec_i, rep, rep, rep),
-            (rep, rep, spec_i, spec_i, rep, rep, rep, rep, rep, rep),
-        )(transition, inputs, targets, input_lengths, target_lengths)
+    def fwd(precision, transition, inputs, targets, input_lengths,
+            target_lengths):
+        with strict_chain_precision(precision):
+            outs = smap(
+                fwd_local,
+                (spec_t, spec_i, rep, rep, rep),
+                (rep, rep, spec_i, spec_i, rep, rep, rep, rep, rep, rep),
+            )(transition, inputs, targets, input_lengths, target_lengths)
         loss, full, alpha, beta, ali, self_t, next_t, tgt, alpha_a, beta_a = outs
         res = (
             transition, inputs, input_lengths,
@@ -404,18 +417,20 @@ def _get_asg_vp(mesh: Mesh, axis: str):
         )
         return loss, res
 
-    def bwd(res, g):
+    def bwd(precision, res, g):
         (transition, inputs, input_lengths,
          full, alpha, beta, ali, self_t, next_t, tgt, alpha_a, beta_a) = res
-        gt, gi = smap(
-            bwd_local,
-            (spec_t, spec_i, rep,
-             rep, spec_i, spec_i, rep, rep, rep, rep, rep, rep, rep),
-            (spec_t, spec_i),
-        )(
-            transition, inputs, input_lengths,
-            full, alpha, beta, ali, self_t, next_t, tgt, alpha_a, beta_a, g,
-        )
+        with strict_chain_precision(precision):
+            gt, gi = smap(
+                bwd_local,
+                (spec_t, spec_i, rep,
+                 rep, spec_i, spec_i, rep, rep, rep, rep, rep, rep, rep),
+                (spec_t, spec_i),
+            )(
+                transition, inputs, input_lengths,
+                full, alpha, beta, ali, self_t, next_t, tgt, alpha_a,
+                beta_a, g,
+            )
         return gt, gi, None, None, None
 
     asg_vp.defvjp(fwd, bwd)
@@ -432,11 +447,14 @@ def asg_loss_vp(
     *,
     axis: str = "model",
     reduction: str = "mean",
+    precision=None,
 ) -> jnp.ndarray:
     """ASG loss with the vocabulary sharded over ``mesh[axis]``.
 
     transition rows and the emission label dim live sharded; per-batch
-    results are bitwise identical on every chip.
+    results are bitwise identical on every chip.  ``precision`` mirrors
+    ``asg_loss``: captured at forward-trace time and baked into the
+    custom_vjp so the backward chain matmuls honor it too.
     """
     t_total, num_batches, num_labels = inputs.shape
     inputs, targets, input_lengths, target_lengths = _prep(
@@ -452,7 +470,10 @@ def asg_loss_vp(
             f"{axis!r} = {mesh.shape[axis]}"
         )
     fn = _get_asg_vp(mesh, axis)
-    per_batch = fn(transition, inputs, targets, input_lengths, target_lengths)
+    per_batch = fn(
+        chain_precision() if precision is None else precision,
+        transition, inputs, targets, input_lengths, target_lengths,
+    )
     return _reduce(per_batch, reduction)
 
 
