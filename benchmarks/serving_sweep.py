@@ -165,11 +165,28 @@ def bench_bigvocab_decode(fetch_s):
     g(trans, inputs)
     t_nb = _best(lambda i: g(trans, i), inputs, lambda _, o: o[1],
                  fetch_s, iters=3, repeats=2) * CHAIN_K / 2
+
+    from torch_asg_tpu import beam_decode
+
+    def beam_chain(tr, inp):
+        def body(inp_c, _):
+            res = beam_decode(tr, inp_c, li, beam_size=16)
+            s = res.scores.sum() + res.paths.sum().astype(res.scores.dtype)
+            return inp_c + 0.0 * s, s
+        inp_o, ss = jax.lax.scan(body, inp, None, length=CHAIN_K)
+        return ss[-1], inp_o
+
+    h = jax.jit(beam_chain)
+    _mark("compile 10k beam_decode")
+    h(trans, inputs)
+    t_beam = _best(lambda i: h(trans, i), inputs, lambda _, o: o[1],
+                   fetch_s, iters=6, repeats=2)
     print(json.dumps({
         "row": "bigvocab_decode",
-        "shape": {"B": b, "T": t, "N": n, "k": k},
+        "shape": {"B": b, "T": t, "N": n, "k": k, "beam": 16},
         "viterbi_decode_ms": round(t_dec, 1),
         "viterbi_nbest_ms": round(t_nb, 1),
+        "beam_decode_ms": round(t_beam, 2),
         "us_per_frame_decode": round(t_dec / t * 1e3, 1),
         "backend": jax.default_backend(),
     }), flush=True)

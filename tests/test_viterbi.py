@@ -490,3 +490,93 @@ def test_viterbi_pallas_width_budget_raises(rng):
     trans = jnp.zeros((n, n))
     with pytest.raises(ValueError, match="pallas"):
         viterbi_decode(trans, inputs, impl="pallas")
+
+
+# ---------------------------------------------------------------------------
+# beam_decode (beam-pruned approximate decode)
+# ---------------------------------------------------------------------------
+
+
+def test_beam_decode_full_beam_is_exact(rng):
+    """beam_size >= N covers every label, so scores equal the exact
+    decoder's, and (generic inputs: ties have measure zero) so do the
+    paths, ragged lengths included."""
+    from torch_asg_tpu import beam_decode
+
+    T, B, N = 9, 3, 6
+    inputs = jnp.asarray(rng.normal(size=(T, B, N)))
+    trans = jnp.asarray(rng.normal(size=(N, N)))
+    lengths = jnp.asarray([9, 5, 1], jnp.int32)
+    want = viterbi_decode(trans, inputs, lengths, impl="xla")
+    got = beam_decode(trans, inputs, lengths, beam_size=N)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-12)
+    np.testing.assert_array_equal(got.paths, want.paths)
+    # beam_size past N is clamped, not an error
+    got_big = beam_decode(trans, inputs, lengths, beam_size=4 * N)
+    np.testing.assert_array_equal(got_big.paths, want.paths)
+
+
+def test_beam_decode_scores_monotone_in_beam(rng):
+    """Pruned scores lower-bound the exact Viterbi score and are
+    non-decreasing in beam_size (beam sets dominate pointwise)."""
+    from torch_asg_tpu import beam_decode
+
+    T, B, N = 12, 4, 10
+    inputs = jnp.asarray(rng.normal(size=(T, B, N)))
+    trans = jnp.asarray(rng.normal(size=(N, N)))
+    exact = viterbi_decode(trans, inputs, impl="xla").scores
+    prev = None
+    for k in (1, 2, 4, 10):
+        s = np.asarray(beam_decode(trans, inputs, beam_size=k).scores)
+        assert (s <= np.asarray(exact) + 1e-9).all()
+        if prev is not None:
+            assert (s >= prev - 1e-9).all()
+        prev = s
+    np.testing.assert_allclose(prev, exact, rtol=1e-12)
+
+
+def test_beam_decode_path_score_consistent(rng):
+    """The emitted path re-scored against the lattice equals the
+    reported beam score (the path is a real path, not an artifact)."""
+    from torch_asg_tpu import beam_decode
+
+    T, B, N = 8, 3, 7
+    r_in = rng.normal(size=(T, B, N))
+    r_tr = rng.normal(size=(N, N))
+    inputs = jnp.asarray(r_in)
+    trans = jnp.asarray(r_tr)
+    lengths = np.array([8, 6, 2])
+    res = beam_decode(trans, inputs, jnp.asarray(lengths), beam_size=3)
+    paths = np.asarray(res.paths)
+    for b in range(B):
+        L = lengths[b]
+        p = paths[:L, b]
+        score = r_in[0, b, p[0]] + sum(
+            r_tr[p[t], p[t - 1]] + r_in[t, b, p[t]] for t in range(1, L)
+        )
+        np.testing.assert_allclose(score, float(res.scores[b]), rtol=1e-9)
+        assert (paths[L:, b] == -1).all()
+
+
+def test_beam_decode_peaked_emissions_recover_exact(rng):
+    """With strongly peaked emissions a narrow beam finds the exact
+    path (the serving regime beam pruning is designed for)."""
+    from torch_asg_tpu import beam_decode
+
+    T, B, N = 15, 2, 20
+    peaks = rng.integers(0, N, size=(T, B))
+    base = rng.normal(size=(T, B, N)) * 0.1
+    base[np.arange(T)[:, None], np.arange(B)[None, :], peaks] += 8.0
+    inputs = jnp.asarray(base)
+    trans = jnp.asarray(rng.normal(size=(N, N)) * 0.1)
+    want = viterbi_decode(trans, inputs, impl="xla")
+    got = beam_decode(trans, inputs, beam_size=2)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-12)
+    np.testing.assert_array_equal(got.paths, want.paths)
+
+
+def test_beam_decode_validates_beam_size():
+    from torch_asg_tpu import beam_decode
+
+    with pytest.raises(ValueError, match="beam_size"):
+        beam_decode(jnp.zeros((4, 4)), jnp.zeros((3, 2, 4)), beam_size=0)

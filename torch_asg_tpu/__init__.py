@@ -9,8 +9,8 @@ from .asg import ASGLoss, asg_loss, asg_scores
 from .ops.fac import fac_score
 from .ops.fcc import fcc_score
 from .ops.posteriors import fac_posteriors, fcc_posteriors
-from .ops.viterbi import (alignment_segments, viterbi_align, viterbi_decode,
-                          viterbi_nbest)
+from .ops.viterbi import (alignment_segments, beam_decode, viterbi_align,
+                          viterbi_decode, viterbi_nbest)
 from .ops.streaming import (StreamingAlignState, StreamingNBestState,
                             StreamingState, streaming_align_backtrace,
                             streaming_align_init, streaming_align_update,
@@ -39,6 +39,7 @@ __all__ = [
     "viterbi_decode",
     "viterbi_align",
     "viterbi_nbest",
+    "beam_decode",
     "alignment_segments",
     "WFSA",
     "chain_wfsa",

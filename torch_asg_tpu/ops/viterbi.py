@@ -405,6 +405,109 @@ def _labels_from_positions(positions, lat_targets):
     return jnp.where(positions >= 0, picked, -1).astype(jnp.int32)
 
 
+def beam_decode(
+    transition: jnp.ndarray,
+    inputs: jnp.ndarray,
+    input_lengths: Optional[jnp.ndarray] = None,
+    *,
+    beam_size: int = 16,
+) -> ViterbiResult:
+    """Beam-pruned Viterbi decode: the top-``beam_size`` labels survive
+    each frame.
+
+    The exact decoders pay O(T B N^2) in the (to, from) candidate tensor
+    — unavoidable for exactness, and the dominant serving cost at
+    wordpiece scale (N ~ 10k).  Production decoders prune: with K
+    surviving labels per frame the step is O(B N K) — one (B, K, N) row
+    fetch of the live labels' outgoing transition rows, a max over K,
+    and a top-K over N — an N/K work reduction (625x at N=10k, K=16).
+
+    The price is approximation: ``scores`` lower-bounds the exact
+    Viterbi score, with equality whenever the true best path's label at
+    every frame is inside that frame's beam.  Scores are monotonically
+    non-decreasing in ``beam_size`` (beam sets are pointwise dominated),
+    and ``beam_size >= N`` reproduces ``viterbi_decode`` exactly — both
+    pinned by tests/test_viterbi.py.
+
+    The per-step transition fetch is an embedding-style CONTIGUOUS-ROW
+    gather from the transposed (from, to) table — whole (N,)-row DMA,
+    the one gather shape TPUs handle well.  The repo's one-hot-matmul
+    rule (CLAUDE.md) targets element-level gathers whose matmul form
+    costs the same; here the matmul form is O(B N^2 K) and would defeat
+    the pruning.
+
+    transition: (N, N) [i, j] = score j -> i; inputs: (T, B, N); returns
+    ``ViterbiResult`` like ``viterbi_decode`` (reference tech-report
+    basis ``doc/tech_report.tex:84-88``; the reference ships no decoder).
+    """
+    t_total, num_batches, num_labels = inputs.shape
+    if beam_size < 1:
+        raise ValueError(f"beam_size must be >= 1, got {beam_size}")
+    k = min(beam_size, num_labels)
+    if input_lengths is None:
+        input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
+    if inputs.dtype in (jnp.bfloat16, jnp.float16):
+        inputs = inputs.astype(jnp.float32)
+    transition = transition.astype(inputs.dtype)
+    inputs_m = mask_emissions(inputs, input_lengths)
+    trans_t = transition.T  # (from, to): row j = outgoing scores of j
+
+    d0, lab0 = _topk(inputs_m[0], k)  # (B, K) each
+
+    def fstep(carry, xs):
+        d_prev, lab_prev, d_end, lab_end = carry
+        t, i_t = xs
+        rows = jnp.take(trans_t, lab_prev, axis=0)  # (B, K, N)
+        cand = rows + d_prev[:, :, None]
+        best = jnp.max(cand, axis=1)  # (B, N)
+        from_slot = jnp.argmax(cand, axis=1).astype(jnp.int32)
+        d, lab = _topk(i_t + best, k)  # (B, K)
+        bp = _select_rows(from_slot, lab)  # new slot -> previous slot
+        at_end = (input_lengths - 1 == t)[:, None]
+        d_end = jnp.where(at_end, d, d_end)
+        lab_end = jnp.where(at_end, lab, lab_end)
+        return (d, lab, d_end, lab_end), (lab, bp)
+
+    ts_f = jnp.arange(1, t_total, dtype=input_lengths.dtype)
+    (_, _, d_end, _), (labs, bps) = lax.scan(
+        fstep, (d0, lab0, d0, lab0), (ts_f, inputs_m[1:])
+    )
+    # labs[t] (B, K): beam labels AT frame t; bps[t]: slot at frame t ->
+    # slot at frame t-1.  Frame 0 rows are prepended (identity bp, never
+    # followed) so both index directly by t.
+    labs = jnp.concatenate([lab0[None], labs], axis=0)
+    bps = jnp.concatenate(
+        [jnp.zeros((1, num_batches, k), jnp.int32), bps], axis=0
+    )
+
+    scores = d_end[:, 0]  # _topk slot 0 holds the max
+
+    # Backtrace over beam slots (slot 0 at each utterance's last frame),
+    # same end masking as the exact decoder; -1 at padding frames.
+    pad = jnp.full((num_batches,), -1, jnp.int32)
+    lab_last = jnp.where(
+        input_lengths - 1 == t_total - 1, labs[-1][:, 0], pad
+    )
+
+    def bstep(slot_next, xs):
+        t, lab_t, bp_t1 = xs  # (B, K) beams at t; bp of frame t+1
+        prev_slot = _select_row(bp_t1, slot_next)
+        slot_t = jnp.where(input_lengths - 1 == t, 0, prev_slot)
+        emit = jnp.where(
+            t < input_lengths, _select_row(lab_t, slot_t), pad
+        )
+        return slot_t, emit
+
+    ts_b = jnp.arange(t_total - 2, -1, -1)
+    _, emits = lax.scan(
+        bstep,
+        jnp.zeros((num_batches,), jnp.int32),
+        (ts_b, labs[-2::-1], bps[:0:-1]),
+    )
+    paths = jnp.concatenate([emits[::-1], lab_last[None]], axis=0)
+    return ViterbiResult(scores, paths)
+
+
 # The alignment kernel's carry is one (B, S_pad) row; unlike the decoder
 # there is no rotation table, so the only width cost is VMEM.  Capped at
 # the fused loss kernels' width budget for the same reason they are.
