@@ -689,3 +689,80 @@ def test_streaming_align_backtrace_derives_ragged_lengths(rng):
     np.testing.assert_allclose(got.scores, want.scores, rtol=1e-12)
     np.testing.assert_array_equal(got.positions, want.positions)
     np.testing.assert_array_equal(got.labels, want.labels)
+
+
+# ---------------------------------------------------------------------------
+# Streaming beam-pruned decoding
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("splits", [[12], [4, 4, 4], [1] * 12, [7, 5]])
+def test_streaming_beam_matches_oneshot(rng, splits):
+    """Streaming beam decode == one-shot beam_decode on the consumed
+    prefix — scores AND paths (shared _topk, identical candidate
+    ordering, so tie-breaking matches), ragged rates included."""
+    from torch_asg_tpu import beam_decode
+    from torch_asg_tpu.ops.streaming import (
+        streaming_beam_backtrace,
+        streaming_beam_init,
+        streaming_beam_update,
+    )
+
+    t_total, k = 12, 3
+    transition, inputs, _, _ = _problem(rng, t_total)
+    lengths = jnp.asarray([12, 8, 3], jnp.int32)
+
+    st = streaming_beam_init(B, k, dtype=jnp.float64)
+    labs, bps, vals = [], [], []
+    off = 0
+    for t_c in splits:
+        cl = jnp.clip(lengths - off, 0, t_c).astype(jnp.int32)
+        st, (lab, bp, v) = streaming_beam_update(
+            transition, st, inputs[off : off + t_c], chunk_lengths=cl
+        )
+        labs.append(lab)
+        bps.append(bp)
+        vals.append(v)
+        off += t_c
+    got = streaming_beam_backtrace(
+        st, jnp.concatenate(labs), jnp.concatenate(bps),
+        jnp.concatenate(vals),
+    )
+    want = beam_decode(transition, inputs, lengths, beam_size=k)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-12)
+    np.testing.assert_array_equal(got.paths, want.paths)
+
+
+def test_streaming_beam_partial_and_empty(rng):
+    """Mid-stream backtrace equals the one-shot beam decode of the
+    consumed prefix; an element with no frames yet is -inf / all -1."""
+    from torch_asg_tpu import beam_decode
+    from torch_asg_tpu.ops.streaming import (
+        streaming_beam_backtrace,
+        streaming_beam_init,
+        streaming_beam_update,
+    )
+
+    t_total, k = 10, 2
+    transition, inputs, _, _ = _problem(rng, t_total)
+    cl = jnp.asarray([5, 3, 0], jnp.int32)
+    st = streaming_beam_init(B, k, dtype=jnp.float64)
+    st, (lab, bp, v) = streaming_beam_update(
+        transition, st, inputs[:5], chunk_lengths=cl
+    )
+    got = streaming_beam_backtrace(st, lab, bp, v)
+    for b in range(2):
+        L = int(cl[b])
+        w = beam_decode(
+            transition, inputs[:L], jnp.asarray([L] * B, jnp.int32),
+            beam_size=k,
+        )
+        np.testing.assert_allclose(got.scores[b], w.scores[b], rtol=1e-12)
+        np.testing.assert_array_equal(
+            np.asarray(got.paths)[:L, b], np.asarray(w.paths)[:L, b]
+        )
+    assert np.isneginf(np.asarray(got.scores)[2])
+    assert (np.asarray(got.paths)[:, 2] == -1).all()
+
+    with pytest.raises(ValueError, match="beam_size"):
+        streaming_beam_init(B, 0)

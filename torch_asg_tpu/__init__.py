@@ -11,11 +11,14 @@ from .ops.fcc import fcc_score
 from .ops.posteriors import fac_posteriors, fcc_posteriors
 from .ops.viterbi import (alignment_segments, beam_decode, viterbi_align,
                           viterbi_decode, viterbi_nbest)
-from .ops.streaming import (StreamingAlignState, StreamingNBestState,
+from .ops.streaming import (StreamingAlignState, StreamingBeamState,
+                            StreamingNBestState,
                             StreamingState, streaming_align_backtrace,
                             streaming_align_init, streaming_align_update,
                             StreamingViterbiState, StreamingWFSAState,
-                            StreamTargets, streaming_init,
+                            StreamTargets, streaming_beam_backtrace,
+                            streaming_beam_init, streaming_beam_update,
+                            streaming_init,
                             streaming_nbest_backtrace, streaming_nbest_init,
                             streaming_nbest_update, streaming_scores,
                             streaming_targets, streaming_update,
@@ -58,6 +61,9 @@ __all__ = [
     "streaming_viterbi_init",
     "streaming_viterbi_update",
     "streaming_viterbi_backtrace",
+    "streaming_beam_init",
+    "streaming_beam_update",
+    "streaming_beam_backtrace",
     "StreamingWFSAState",
     "streaming_wfsa_init",
     "streaming_wfsa_update",
@@ -67,6 +73,7 @@ __all__ = [
     "streaming_nbest_update",
     "streaming_nbest_backtrace",
     "StreamingAlignState",
+    "StreamingBeamState",
     "streaming_align_init",
     "streaming_align_update",
     "streaming_align_backtrace",

@@ -346,6 +346,127 @@ def streaming_viterbi_backtrace(
 
 
 # ---------------------------------------------------------------------------
+# Streaming beam-pruned decoding (wordpiece-scale vocabularies)
+# ---------------------------------------------------------------------------
+#
+# Online counterpart of ``ops.viterbi.beam_decode``: the carry is the
+# (B, K) pruned beam (scores + label ids) instead of the full (B, N)
+# delta row, so the per-chunk update is O(T_c B N K) — the N/K work
+# reduction that makes online decoding at N ~ 10k practical.  Emitted
+# per chunk: the beam labels and slot backpointers per frame; the
+# backtrace walks slots exactly like the one-shot decoder.  Identity
+# slot backpointers at first/invalid frames make concatenated blocks
+# compose under ragged chunk_lengths, same as streaming Viterbi.
+# Exact parity with one-shot ``beam_decode`` on the consumed prefix
+# (shared ``_topk`` + identical candidate ordering -> identical
+# tie-breaking) is pinned by tests/test_streaming.py.
+
+
+class StreamingBeamState(NamedTuple):
+    delta: jnp.ndarray  # (B, K) pruned best-path scores, descending
+    labels: jnp.ndarray  # (B, K) int32 label ids of the beam slots
+    frames_seen: jnp.ndarray  # (B,) int32
+
+
+def streaming_beam_init(
+    num_batches: int, beam_size: int, dtype=jnp.float32
+) -> StreamingBeamState:
+    if beam_size < 1:
+        raise ValueError(f"beam_size must be >= 1, got {beam_size}")
+    dtype = _accumulation_dtype(dtype)
+    return StreamingBeamState(
+        delta=jnp.full((num_batches, beam_size), NEG_INF, dtype),
+        labels=jnp.zeros((num_batches, beam_size), jnp.int32),
+        frames_seen=jnp.zeros((num_batches,), jnp.int32),
+    )
+
+
+def streaming_beam_update(
+    transition: jnp.ndarray,
+    state: StreamingBeamState,
+    chunk: jnp.ndarray,
+    chunk_lengths: Optional[jnp.ndarray] = None,
+) -> tuple:
+    """Consume a (T_c, B, N) emission chunk.
+
+    Returns ``(state, (labels, backptr, valid))`` with labels/backptr
+    (T_c, B, K) int32 and valid (T_c, B) bool: labels[t] are the frame's
+    beam label ids, backptr[t] maps each beam slot to the slot at the
+    element's previous consumed frame (identity at first/invalid
+    frames).  ``beam_size`` is fixed by the state; if it exceeds N the
+    tail slots simply carry -inf and never win.
+    """
+    t_c, num_batches, num_labels = chunk.shape
+    k = state.delta.shape[1]
+    chunk = chunk.astype(state.delta.dtype)
+    transition = transition.astype(state.delta.dtype)
+    trans_t = transition.T  # (from, to)
+    if chunk_lengths is None:
+        chunk_lengths = jnp.full((num_batches,), t_c, jnp.int32)
+    ident = jnp.broadcast_to(
+        jnp.arange(k, dtype=jnp.int32)[None, :], (num_batches, k)
+    )
+
+    def step(carry, xs):
+        d, lab, seen = carry
+        t, i_t = xs
+        valid = (t < chunk_lengths)[:, None]
+        first = (seen == 0)[:, None] & valid
+        rows = jnp.take(trans_t, lab, axis=0)  # (B, K, N) outgoing rows
+        cand = rows + d[:, :, None]
+        best = jnp.max(cand, axis=1)  # (B, N)
+        from_slot = jnp.argmax(cand, axis=1).astype(jnp.int32)
+        d_new, lab_new = _topk(i_t + best, k)
+        d_seed, lab_seed = _topk(i_t, k)
+        d_new = jnp.where(first, d_seed, d_new)
+        lab_new = jnp.where(first, lab_seed, lab_new)
+        bp = jnp.where(
+            valid & ~first, _select_rows(from_slot, lab_new), ident
+        )
+        d = jnp.where(valid, d_new, d)
+        lab = jnp.where(valid, lab_new, lab)
+        seen = seen + valid[:, 0].astype(jnp.int32)
+        return (d, lab, seen), (lab, bp, valid[:, 0])
+
+    ts = jnp.arange(t_c)
+    (d, lab, seen), (labs, bps, valid) = lax.scan(
+        step, (state.delta, state.labels, state.frames_seen), (ts, chunk)
+    )
+    return StreamingBeamState(d, lab, seen), (labs, bps, valid)
+
+
+def streaming_beam_backtrace(
+    state: StreamingBeamState,
+    labels: jnp.ndarray,
+    backptr: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> ViterbiResult:
+    """Best surviving path over all frames consumed so far.
+
+    labels/backptr (T, B, K) / valid (T, B): the per-chunk outputs of
+    ``streaming_beam_update`` concatenated along the time axis.  Emits
+    -1 at frames an element did not consume; elements with no frames yet
+    score -inf with an all -1 path.
+    """
+    scores = state.delta[:, 0]  # slot 0 holds the max (descending order)
+    num_batches = scores.shape[0]
+
+    def bstep(slot, xs):
+        lab_t, bp_t, v_t = xs
+        emit = jnp.where(v_t, _select_row(lab_t, slot), -1)
+        prev = _select_row(bp_t, slot)
+        slot = jnp.where(v_t, prev, slot)
+        return slot, emit
+
+    _, emits = lax.scan(
+        bstep,
+        jnp.zeros((num_batches,), jnp.int32),
+        (labels[::-1], backptr[::-1], valid[::-1]),
+    )
+    return ViterbiResult(scores, emits[::-1])
+
+
+# ---------------------------------------------------------------------------
 # Streaming n-best decoding
 # ---------------------------------------------------------------------------
 #
