@@ -126,6 +126,51 @@ def bench_streaming(num_labels, fetch_s):
     }), flush=True)
 
 
+def bench_streaming_beam(fetch_s):
+    """Per-chunk latency of the streaming BEAM decoder at wordpiece
+    scale (N=10k, K=16) — the online large-vocab serving path the exact
+    streaming Viterbi (O(N^2) per frame) cannot serve."""
+    from torch_asg_tpu.ops.streaming import (
+        streaming_beam_init, streaming_beam_update,
+    )
+
+    b, t_c, n, k = 8, 16, 10_000, 16
+    chain = 64  # N=10k chunks are ~100x the N=30 work; shorter chain
+    r = np.random.default_rng(0)
+    trans = jnp.asarray(r.normal(size=(n, n)) * 0.5, jnp.float32)
+    chunk = jnp.asarray(r.normal(size=(t_c, b, n)), jnp.float32)
+    st0 = streaming_beam_init(b, k)
+
+    def beam_chain(chunk_in, st_in):
+        def body(carry, _):
+            st, ck = carry
+            st, (lab, bp, valid) = streaming_beam_update(trans, st, ck)
+            # thread labels+bps so the slot bookkeeping cannot DCE
+            ck = ck + 0.0 * (st.delta[0, 0]
+                             + (lab.sum() + bp.sum()).astype(ck.dtype))
+            return (st, ck), None
+        (st, ck), _ = jax.lax.scan(body, (st_in, chunk_in), None,
+                                   length=chain)
+        return st, ck
+
+    f = jax.jit(beam_chain)
+    _mark(f"compile streaming beam N={n}")
+    f(chunk, st0)
+    t_beam = _best(
+        lambda ck: f(ck, st0), chunk, lambda _, out: out[1], fetch_s,
+        steps=chain,
+    )
+    print(json.dumps({
+        "row": "streaming_beam",
+        "shape": {"B": b, "chunk": t_c, "N": n, "K": k},
+        "beam_update_ms_per_chunk": round(t_beam, 3),
+        "beam_us_per_frame": round(t_beam / t_c * 1e3, 1),
+        "note": f"{chain} chained updates per dispatch, "
+                "labels+bps threaded in-graph",
+        "backend": jax.default_backend(),
+    }), flush=True)
+
+
 def bench_bigvocab_decode(fetch_s):
     """Decode + n-best at wordpiece scale (N=10k, chunked max-plus)."""
     from torch_asg_tpu import viterbi_decode, viterbi_nbest
@@ -328,6 +373,7 @@ def main():
     fetch_s = fetch_overhead_s()
     bench_streaming(30, fetch_s)
     bench_streaming(512, fetch_s)
+    bench_streaming_beam(fetch_s)
     bench_bigvocab_decode(fetch_s)
     bench_wfsa(fetch_s)
     bench_align(fetch_s)
