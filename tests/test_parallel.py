@@ -103,6 +103,20 @@ def test_dp_viterbi_decode_matches_single_chip(case):
         viterbi_decode_dp(mesh, case["trans"], case["inputs"][:, :3], None)
 
 
+def test_dp_beam_decode_matches_single_chip(case):
+    from torch_asg_tpu.ops.viterbi import beam_decode
+    from torch_asg_tpu.parallel import beam_decode_dp
+
+    mesh = make_mesh()
+    ref = beam_decode(case["trans"], case["inputs"], case["li"], beam_size=4)
+    got = beam_decode_dp(
+        mesh, case["trans"], case["inputs"], case["li"], beam_size=4
+    )
+    np.testing.assert_allclose(np.asarray(got.scores), np.asarray(ref.scores),
+                               rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(got.paths), np.asarray(ref.paths))
+
+
 def test_dp_viterbi_align_matches_single_chip(case):
     mesh = make_mesh()
     ref = viterbi_align(

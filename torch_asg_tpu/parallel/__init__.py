@@ -1,5 +1,6 @@
 from .data_parallel import (
     asg_loss_dp,
+    beam_decode_dp,
     shard_batch,
     viterbi_align_dp,
     viterbi_decode_dp,
@@ -18,6 +19,7 @@ __all__ = [
     "shard_batch",
     "viterbi_decode_dp",
     "viterbi_align_dp",
+    "beam_decode_dp",
     "asg_loss_vp",
     "fcc_score_vp",
     "asg_loss_seq",

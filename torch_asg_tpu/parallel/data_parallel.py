@@ -140,6 +140,44 @@ def viterbi_decode_dp(
     return ViterbiResult(scores, paths)
 
 
+def beam_decode_dp(
+    mesh: Mesh,
+    transition: jnp.ndarray,
+    inputs: jnp.ndarray,
+    input_lengths: Optional[jnp.ndarray] = None,
+    *,
+    axis: str = "data",
+    beam_size: int = 16,
+):
+    """``ops.viterbi.beam_decode`` with the batch sharded over
+    ``mesh[axis]`` — the batch-parallel form of the pruned wordpiece-scale
+    decoder (each shard prunes its own beams; no cross-chip traffic).
+
+    Returns a ``ViterbiResult`` whose ``scores`` (B,) and ``paths`` (T, B)
+    stay sharded over the batch axis.
+    """
+    from ..ops.viterbi import ViterbiResult, beam_decode
+
+    t_total, num_batches, _ = inputs.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
+    _dp_batch_check(num_batches, mesh, axis)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis, None), P(axis)),
+        out_specs=(P(axis), P(None, axis)),
+        check_vma=False,
+    )
+    def _shard(trans, inp, li):
+        res = beam_decode(trans, inp, li, beam_size=beam_size)
+        return res.scores, res.paths
+
+    scores, paths = _shard(transition, inputs, input_lengths)
+    return ViterbiResult(scores, paths)
+
+
 def viterbi_align_dp(
     mesh: Mesh,
     transition: jnp.ndarray,
