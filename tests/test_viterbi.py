@@ -580,3 +580,19 @@ def test_beam_decode_validates_beam_size():
 
     with pytest.raises(ValueError, match="beam_size"):
         beam_decode(jnp.zeros((4, 4)), jnp.zeros((3, 2, 4)), beam_size=0)
+
+
+def test_beam_decode_wide_vocab_topk_fallback(rng, monkeypatch):
+    """beam_decode composed with the wide-axis top-k fallback (the
+    N=10k serving regime) matches the sort-based path exactly."""
+    import torch_asg_tpu.ops.viterbi as vit
+    from torch_asg_tpu import beam_decode
+
+    T, B, N = 4, 2, 64
+    inputs = jnp.asarray(rng.normal(size=(T, B, N)))
+    trans = jnp.asarray(rng.normal(size=(N, N)) * 0.2)
+    want = beam_decode(trans, inputs, beam_size=3)
+    monkeypatch.setattr(vit, "_TOPK_SORT_MAX_WIDTH", 8)
+    got = beam_decode(trans, inputs, beam_size=3)
+    np.testing.assert_array_equal(got.paths, want.paths)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=0)
