@@ -68,6 +68,12 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=10)
     p.add_argument("--frames", type=int, default=60)
     p.add_argument("--streams", type=int, default=3)
+    p.add_argument(
+        "--beam", type=int, default=0, metavar="K",
+        help="also run the beam-pruned online decoder (streaming_beam_*) "
+             "with beam width K — the O(N/K)-cheaper path for "
+             "wordpiece-scale vocabularies; 0 disables",
+    )
     args = p.parse_args(argv)
 
     rng = np.random.default_rng(0)
@@ -89,6 +95,12 @@ def main(argv=None):
     vit_st = streaming_viterbi_init(B, N)
     upd_scores = jax.jit(streaming_update)
     upd_vit = jax.jit(streaming_viterbi_update)
+    if args.beam:
+        from torch_asg_tpu import streaming_beam_init, streaming_beam_update
+
+        beam_st = streaming_beam_init(B, args.beam)
+        upd_beam = jax.jit(streaming_beam_update)
+        beam_hist = ([], [], [])  # labels, backptrs, valid
 
     bps, vals = [], []
     delivered = np.zeros(B, np.int64)
@@ -114,6 +126,12 @@ def main(argv=None):
         )
         bps.append(bp)
         vals.append(v)
+        if args.beam:
+            beam_st, (blab, bbp, bv) = upd_beam(
+                transition, beam_st, chunk, chunk_lengths=chunk_lengths
+            )
+            for hist, x in zip(beam_hist, (blab, bbp, bv)):
+                hist.append(x)
         delivered += np.asarray(chunk_lengths)
 
         full, aligned = streaming_scores(score_st, target_lengths)
@@ -143,6 +161,28 @@ def main(argv=None):
         ref = np.asarray(one.paths)[: int(delivered[b]), b]
         assert mine[mine >= 0].tolist() == ref.tolist(), f"stream {b} mismatch"
     print("final streaming hypotheses exactly match the one-shot decoder")
+
+    if args.beam:
+        from torch_asg_tpu import beam_decode, streaming_beam_backtrace
+
+        beam_final = streaming_beam_backtrace(
+            beam_st, *(jnp.concatenate(h) for h in beam_hist)
+        )
+        one_beam = beam_decode(
+            transition, emis, jnp.asarray(delivered, jnp.int32),
+            beam_size=args.beam,
+        )
+        for b in range(B):
+            mine = np.asarray(beam_final.paths)[:, b]
+            ref = np.asarray(one_beam.paths)[: int(delivered[b]), b]
+            assert mine[mine >= 0].tolist() == ref.tolist()
+            hyp = collapse_path(mine).tolist()
+            gap = float(one.scores[b] - beam_final.scores[b])
+            print(
+                f"  beam-{args.beam} stream {b}: hyp={hyp} "
+                f"(score gap to exact: {gap:.4f})"
+            )
+        print("streaming beam hypotheses match the one-shot beam decoder")
     return 0
 
 

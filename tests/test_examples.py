@@ -16,7 +16,9 @@ sys.path.insert(0, _EX)
 def test_stream_decode_example():
     import stream_decode
 
-    assert stream_decode.main(["--frames", "18", "--chunk", "6"]) == 0
+    assert stream_decode.main(
+        ["--frames", "18", "--chunk", "6", "--beam", "2"]
+    ) == 0
 
 
 def test_nbest_rescore_example():
