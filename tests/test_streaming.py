@@ -766,3 +766,36 @@ def test_streaming_beam_partial_and_empty(rng):
 
     with pytest.raises(ValueError, match="beam_size"):
         streaming_beam_init(B, 0)
+
+
+def test_streaming_beam_wider_than_vocab(rng):
+    """beam_size > N must not crash (documented: tail slots carry -inf
+    and never win) and must match the one-shot decoder, which clamps."""
+    from torch_asg_tpu import beam_decode
+    from torch_asg_tpu.ops.streaming import (
+        streaming_beam_backtrace,
+        streaming_beam_init,
+        streaming_beam_update,
+    )
+
+    t_total, k = 8, N + 3
+    transition, inputs, _, _ = _problem(rng, t_total)
+    st = streaming_beam_init(B, k, dtype=jnp.float64)
+    labs, bps, vals = [], [], []
+    for off in (0, 4):
+        st, (lab, bp, v) = streaming_beam_update(
+            transition, st, inputs[off : off + 4]
+        )
+        labs.append(lab)
+        bps.append(bp)
+        vals.append(v)
+    assert np.isneginf(np.asarray(st.delta)[:, N:]).all()
+    got = streaming_beam_backtrace(
+        st, jnp.concatenate(labs), jnp.concatenate(bps),
+        jnp.concatenate(vals),
+    )
+    want = beam_decode(
+        transition, inputs, jnp.full((B,), t_total, jnp.int32), beam_size=k
+    )
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-12)
+    np.testing.assert_array_equal(got.paths, want.paths)

@@ -398,6 +398,11 @@ def streaming_beam_update(
     """
     t_c, num_batches, num_labels = chunk.shape
     k = state.delta.shape[1]
+    # beam wider than the vocabulary: compute the top-k at the clamped
+    # width and pad the tail slots with -inf / label 0 / identity bp —
+    # they never win and the backtrace (which starts at slot 0 and
+    # follows argmax-over-finite backpointers) never reaches them
+    k_eff = min(k, num_labels)
     chunk = chunk.astype(state.delta.dtype)
     transition = transition.astype(state.delta.dtype)
     trans_t = transition.T  # (from, to)
@@ -416,10 +421,16 @@ def streaming_beam_update(
         cand = rows + d[:, :, None]
         best = jnp.max(cand, axis=1)  # (B, N)
         from_slot = jnp.argmax(cand, axis=1).astype(jnp.int32)
-        d_new, lab_new = _topk(i_t + best, k)
-        d_seed, lab_seed = _topk(i_t, k)
-        d_new = jnp.where(first, d_seed, d_new)
-        lab_new = jnp.where(first, lab_seed, lab_new)
+        # first consumed frame seeds from the bare emissions; merging
+        # BEFORE the top-k keeps one top-k per frame (the dominant
+        # per-frame cost at wordpiece scale) and is bit-identical to a
+        # separate seed top-k — the same values reach the same _topk
+        merged = jnp.where(first, i_t, i_t + best)
+        d_new, lab_new = _topk(merged, k_eff)
+        if k_eff < k:
+            pad = ((0, 0), (0, k - k_eff))
+            d_new = jnp.pad(d_new, pad, constant_values=NEG_INF)
+            lab_new = jnp.pad(lab_new, pad)
         bp = jnp.where(
             valid & ~first, _select_rows(from_slot, lab_new), ident
         )

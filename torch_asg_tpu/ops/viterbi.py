@@ -455,7 +455,7 @@ def beam_decode(
     d0, lab0 = _topk(inputs_m[0], k)  # (B, K) each
 
     def fstep(carry, xs):
-        d_prev, lab_prev, d_end, lab_end = carry
+        d_prev, lab_prev, d_end = carry
         t, i_t = xs
         rows = jnp.take(trans_t, lab_prev, axis=0)  # (B, K, N)
         cand = rows + d_prev[:, :, None]
@@ -463,14 +463,14 @@ def beam_decode(
         from_slot = jnp.argmax(cand, axis=1).astype(jnp.int32)
         d, lab = _topk(i_t + best, k)  # (B, K)
         bp = _select_rows(from_slot, lab)  # new slot -> previous slot
-        at_end = (input_lengths - 1 == t)[:, None]
-        d_end = jnp.where(at_end, d, d_end)
-        lab_end = jnp.where(at_end, lab, lab_end)
-        return (d, lab, d_end, lab_end), (lab, bp)
+        # only the end-row SCORES are carried; the backtrace re-derives
+        # the final label from labs at each utterance's last frame
+        d_end = jnp.where((input_lengths - 1 == t)[:, None], d, d_end)
+        return (d, lab, d_end), (lab, bp)
 
     ts_f = jnp.arange(1, t_total, dtype=input_lengths.dtype)
-    (_, _, d_end, _), (labs, bps) = lax.scan(
-        fstep, (d0, lab0, d0, lab0), (ts_f, inputs_m[1:])
+    (_, _, d_end), (labs, bps) = lax.scan(
+        fstep, (d0, lab0, d0), (ts_f, inputs_m[1:])
     )
     # labs[t] (B, K): beam labels AT frame t; bps[t]: slot at frame t ->
     # slot at frame t-1.  Frame 0 rows are prepended (identity bp, never
