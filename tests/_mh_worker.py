@@ -90,12 +90,50 @@ def main():
         transition, inputs, targets, input_lengths, target_lengths
     )
 
+    # ---- phase 2: hybrid DCN x ICI mesh with a REAL inner axis ----
+    # data axis crosses the two processes (the simulated-DCN direction);
+    # the model axis lives inside each process's device pool (ICI) — the
+    # layout contract make_hybrid_mesh exists to guarantee.
+    mesh2 = make_hybrid_mesh((2,), ("model",))
+    assert dict(mesh2.shape) == {"data": 2, "model": 2}
+    dev = mesh2.devices
+    for r in range(dev.shape[0]):  # each data row = ONE process
+        assert len({d.process_index for d in dev[r]}) == 1
+    assert {d.process_index for d in dev[:, 0]} == {0, 1}
+
+    from torch_asg_tpu.parallel.vocab_parallel import asg_loss_vp
+
+    def rep_global(host_full):
+        # every process holds the full array; replicate it onto mesh2
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh2, P()), np.asarray(host_full)
+        )
+
+    vp_args = tuple(
+        rep_global(data[k])
+        for k in ("transition", "inputs", "targets",
+                  "input_lengths", "target_lengths")
+    )
+
+    def vp_fn(trans, inp, tgt, li, lo):
+        return asg_loss_vp(mesh2, trans, inp, tgt, li, lo,
+                           reduction="mean", axis="model")
+
+    vp_loss, vp_grad = jax.jit(jax.value_and_grad(vp_fn))(*vp_args)
+    # the transition grad comes back model-sharded; replicate so each
+    # process can read the whole array from one addressable shard
+    vp_grad = jax.jit(
+        lambda x: x, out_shardings=NamedSharding(mesh2, P())
+    )(vp_grad)
+
     # loss and grad are replicated: every process holds the full value on
     # each of its addressable shards.
     np.savez(
         out_path,
         loss=np.asarray(jax.device_get(loss.addressable_data(0))),
         grad=np.asarray(jax.device_get(grad.addressable_data(0))),
+        vp_loss=np.asarray(jax.device_get(vp_loss.addressable_data(0))),
+        vp_grad=np.asarray(jax.device_get(vp_grad.addressable_data(0))),
         process_count=jax.process_count(),
         device_count=jax.device_count(),
         local_device_count=jax.local_device_count(),

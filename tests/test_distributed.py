@@ -149,7 +149,8 @@ def test_two_process_dp_parity(rng, tmp_path):
 
     from torch_asg_tpu import asg_loss
 
-    t_total, num_batches, num_labels, s_total = 8, 4, 5, 3
+    # num_labels divisible by the phase-2 hybrid mesh's model axis (2)
+    t_total, num_batches, num_labels, s_total = 8, 4, 6, 3
     transition = rng.normal(size=(num_labels, num_labels)) * 0.5
     inputs = rng.normal(size=(t_total, num_batches, num_labels))
     targets = rng.integers(0, num_labels, size=(num_batches, s_total)).astype(
@@ -230,6 +231,11 @@ def test_two_process_dp_parity(rng, tmp_path):
         assert int(got["local_device_count"]) == 2
         np.testing.assert_allclose(got["loss"], want_loss, rtol=1e-10)
         np.testing.assert_allclose(got["grad"], want_grad, rtol=1e-10)
+        # phase 2: vocabulary-sharded loss+grad on the hybrid DCN x ICI
+        # mesh (model collectives inside one process, data across) must
+        # match the same single-process oracle
+        np.testing.assert_allclose(got["vp_loss"], want_loss, rtol=1e-10)
+        np.testing.assert_allclose(got["vp_grad"], want_grad, rtol=1e-10)
     # the two workers loaded disjoint, covering batch shards
     sl0 = np.load(outs[0])["local_slice"]
     sl1 = np.load(outs[1])["local_slice"]
