@@ -596,3 +596,24 @@ def test_beam_decode_wide_vocab_topk_fallback(rng, monkeypatch):
     got = beam_decode(trans, inputs, beam_size=3)
     np.testing.assert_array_equal(got.paths, want.paths)
     np.testing.assert_allclose(got.scores, want.scores, rtol=0)
+
+
+def test_beam_decode_neg_inf_transitions(rng):
+    """Forbidden (-inf) transitions flow through the pruned recursion
+    like the exact one: full beam still matches viterbi_decode, and
+    narrow beams stay finite whenever a legal path exists."""
+    from torch_asg_tpu import beam_decode
+
+    T, B, N = 10, 3, 8
+    inputs = jnp.asarray(rng.normal(size=(T, B, N)))
+    tr = rng.normal(size=(N, N))
+    tr[rng.random(size=(N, N)) < 0.4] = -np.inf
+    np.fill_diagonal(tr, 0.0)  # self-loops keep every label reachable
+    trans = jnp.asarray(tr)
+    want = viterbi_decode(trans, inputs, impl="xla")
+    got = beam_decode(trans, inputs, beam_size=N)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-12)
+    np.testing.assert_array_equal(got.paths, want.paths)
+    narrow = beam_decode(trans, inputs, beam_size=2)
+    assert np.isfinite(np.asarray(narrow.scores)).all()
+    assert not np.isnan(np.asarray(narrow.scores)).any()
