@@ -799,3 +799,79 @@ def test_streaming_beam_wider_than_vocab(rng):
     )
     np.testing.assert_allclose(got.scores, want.scores, rtol=1e-12)
     np.testing.assert_array_equal(got.paths, want.paths)
+
+
+@pytest.mark.parametrize("splits", [[10], [4, 3, 3], [1] * 10])
+def test_streaming_wfsa_viterbi_matches_oneshot(rng, splits):
+    """Streaming WFSA best path == one-shot wfsa_viterbi on the consumed
+    prefix (shared arc step + walker: identical lowest-arc-id ties),
+    ragged rates included, for a full automaton and a lexicon graph."""
+    from torch_asg_tpu.ops.streaming import (
+        streaming_wfsa_viterbi_backtrace,
+        streaming_wfsa_viterbi_init,
+        streaming_wfsa_viterbi_update,
+    )
+    from torch_asg_tpu.ops.wfsa import lexicon_wfsa, wfsa_viterbi
+
+    t_total = 10
+    transition = jnp.asarray(rng.normal(size=(N, N)), jnp.float64)
+    inputs = jnp.asarray(rng.normal(size=(t_total, B, N)), jnp.float64)
+    lengths = jnp.asarray([10, 7, 4], jnp.int32)
+    words = [
+        jnp.asarray(rng.integers(0, N, size=(3,)), jnp.int32),
+        jnp.asarray(rng.integers(0, N, size=(2,)), jnp.int32),
+    ]
+    for fsa in (full_wfsa(transition), lexicon_wfsa(transition, words)):
+        st = streaming_wfsa_viterbi_init(fsa, B, dtype=jnp.float64)
+        backs, vals = [], []
+        off = 0
+        for t_c in splits:
+            cl = jnp.clip(lengths - off, 0, t_c).astype(jnp.int32)
+            st, (bk, v) = streaming_wfsa_viterbi_update(
+                fsa, st, inputs[off : off + t_c], chunk_lengths=cl
+            )
+            backs.append(bk)
+            vals.append(v)
+            off += t_c
+        got = streaming_wfsa_viterbi_backtrace(
+            fsa, st, jnp.concatenate(backs), jnp.concatenate(vals)
+        )
+        want = wfsa_viterbi(fsa, inputs, lengths)
+        np.testing.assert_allclose(got.scores, want.scores, rtol=1e-12)
+        np.testing.assert_array_equal(got.states, want.states)
+        np.testing.assert_array_equal(got.labels, want.labels)
+
+
+def test_streaming_wfsa_viterbi_partial_and_empty(rng):
+    """Mid-stream backtrace equals the one-shot decode of the consumed
+    prefix; a zero-frame element scores max(start+final), all -1 path."""
+    from torch_asg_tpu.ops.streaming import (
+        streaming_wfsa_viterbi_backtrace,
+        streaming_wfsa_viterbi_init,
+        streaming_wfsa_viterbi_update,
+    )
+    from torch_asg_tpu.ops.wfsa import wfsa_viterbi
+
+    t_total = 8
+    transition = jnp.asarray(rng.normal(size=(N, N)), jnp.float64)
+    inputs = jnp.asarray(rng.normal(size=(t_total, B, N)), jnp.float64)
+    fsa = full_wfsa(transition)
+    cl = jnp.asarray([5, 3, 0], jnp.int32)
+    st = streaming_wfsa_viterbi_init(fsa, B, dtype=jnp.float64)
+    st, (bk, v) = streaming_wfsa_viterbi_update(
+        fsa, st, inputs[:5], chunk_lengths=cl
+    )
+    got = streaming_wfsa_viterbi_backtrace(fsa, st, bk, v)
+    for b in range(2):
+        L = int(cl[b])
+        want = wfsa_viterbi(fsa, inputs[:L], jnp.full((B,), L, jnp.int32))
+        np.testing.assert_allclose(got.scores[b], want.scores[b], rtol=1e-12)
+        np.testing.assert_array_equal(
+            np.asarray(got.labels)[:L, b], np.asarray(want.labels)[:, b]
+        )
+    empty_score = float(
+        jnp.max(fsa.start.astype(jnp.float64) + fsa.final.astype(jnp.float64))
+    )
+    np.testing.assert_allclose(float(got.scores[2]), empty_score, rtol=1e-12)
+    assert (np.asarray(got.labels)[:, 2] == -1).all()
+    assert (np.asarray(got.states)[:, 2] == -1).all()

@@ -25,7 +25,11 @@ from .ops.streaming import (StreamingAlignState, StreamingBeamState,
                             streaming_viterbi_backtrace,
                             streaming_viterbi_init, streaming_viterbi_update,
                             streaming_wfsa_init, streaming_wfsa_scores,
-                            streaming_wfsa_update)
+                            streaming_wfsa_update,
+                            StreamingWFSAViterbiState,
+                            streaming_wfsa_viterbi_backtrace,
+                            streaming_wfsa_viterbi_init,
+                            streaming_wfsa_viterbi_update)
 from .ops.wfsa import (WFSA, chain_wfsa, full_wfsa, lexicon_wfsa,
                        wfsa_posteriors, wfsa_score, wfsa_viterbi)
 
@@ -64,6 +68,10 @@ __all__ = [
     "streaming_beam_init",
     "streaming_beam_update",
     "streaming_beam_backtrace",
+    "StreamingWFSAViterbiState",
+    "streaming_wfsa_viterbi_init",
+    "streaming_wfsa_viterbi_update",
+    "streaming_wfsa_viterbi_backtrace",
     "StreamingWFSAState",
     "streaming_wfsa_init",
     "streaming_wfsa_update",

@@ -830,6 +830,92 @@ def streaming_wfsa_update(
     return StreamingWFSAState(alpha, seen)
 
 
+class StreamingWFSAViterbiState(NamedTuple):
+    """Carry for the online WFSA best-path decoder."""
+
+    delta: jnp.ndarray  # (B, num_states) best-path score into each state
+    frames_seen: jnp.ndarray  # (B,) int32
+
+
+def streaming_wfsa_viterbi_init(
+    fsa, num_batches: int, dtype=jnp.float32
+) -> StreamingWFSAViterbiState:
+    dtype = _accumulation_dtype(dtype)
+    return StreamingWFSAViterbiState(
+        delta=jnp.broadcast_to(
+            fsa.start.astype(dtype), (num_batches, fsa.num_states)
+        ),
+        frames_seen=jnp.zeros((num_batches,), jnp.int32),
+    )
+
+
+def streaming_wfsa_viterbi_update(
+    fsa,
+    state: StreamingWFSAViterbiState,
+    chunk: jnp.ndarray,
+    chunk_lengths: Optional[jnp.ndarray] = None,
+) -> tuple:
+    """Consume a (T_c, B, N) emission chunk; tropical semiring.
+
+    Returns ``(state, (backs, valid))`` with backs (T_c, B, num_states)
+    int32 best-incoming-arc ids (``fsa.num_arcs`` sentinel at invalid
+    frames / unreachable states) and valid (T_c, B) bool.  Concatenated
+    blocks compose under ``streaming_wfsa_viterbi_backtrace`` (the
+    sentinel rows are skipped there), ragged rates included.  No
+    first-frame special case: the carry starts at the automaton's start
+    weights, exactly like the one-shot decoder's alpha0.
+    """
+    from .wfsa import _viterbi_arc_step
+
+    t_c, num_batches, _ = chunk.shape
+    if chunk_lengths is None:
+        chunk_lengths = jnp.full((num_batches,), t_c, jnp.int32)
+    chunk = chunk.astype(state.delta.dtype)  # carry dtype is pinned
+    big = jnp.asarray(fsa.num_arcs, jnp.int32)
+
+    def step(carry, xs):
+        d, seen = carry
+        t, i_t = xs
+        best, back = _viterbi_arc_step(fsa, d, i_t)
+        valid = (t < chunk_lengths)[:, None]
+        d = jnp.where(valid, best, d)
+        back = jnp.where(valid, back, big)
+        seen = seen + valid[:, 0].astype(jnp.int32)
+        return (d, seen), (back, valid[:, 0])
+
+    ts = jnp.arange(t_c)
+    (d, seen), (backs, valid) = lax.scan(
+        step, (state.delta, state.frames_seen), (ts, chunk)
+    )
+    return StreamingWFSAViterbiState(d, seen), (backs, valid)
+
+
+def streaming_wfsa_viterbi_backtrace(
+    fsa,
+    state: StreamingWFSAViterbiState,
+    backs: jnp.ndarray,
+    valid: jnp.ndarray,
+):
+    """Best accepted path over all frames consumed so far.
+
+    backs (T, B, num_states) / valid (T, B): the per-chunk outputs of
+    ``streaming_wfsa_viterbi_update`` concatenated along time.  Equals
+    the one-shot ``wfsa_viterbi`` on the consumed prefix (shared arc
+    step and walker, identical lowest-arc-id ties); frames an element
+    did not consume emit -1.  An element with zero consumed frames
+    scores the best empty-path acceptance max(start + final) with an
+    all -1 path (mirroring ``streaming_wfsa_scores``' length-0
+    semantics; the one-shot decoder has no length-0 form).
+    """
+    from .wfsa import WFSAPath, _wfsa_walk
+
+    final_tot = state.delta + fsa.final.astype(state.delta.dtype)[None, :]
+    scores = jnp.max(final_tot, axis=1)
+    end_state = jnp.argmax(final_tot, axis=1).astype(jnp.int32)
+    states, labels = _wfsa_walk(fsa, end_state, backs, valid)
+    return WFSAPath(scores, states, labels)
+
+
 def streaming_wfsa_scores(fsa, state: StreamingWFSAState) -> jnp.ndarray:
     """(B,) acceptance score of everything consumed so far; equals the
     one-shot ``wfsa_score`` at input_lengths == frames_seen >= 1.  At

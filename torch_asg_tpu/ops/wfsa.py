@@ -267,6 +267,55 @@ class WFSAPath(NamedTuple):
     labels: jnp.ndarray  # (T, B) int32 emitted labels, -1 at padding
 
 
+def _viterbi_arc_step(fsa: WFSA, alpha: jnp.ndarray, i_t: jnp.ndarray):
+    """One tropical frame: (best (B, S), back (B, S) best incoming arc
+    id, or E for unreachable states).  Shared by the one-shot and the
+    streaming decoder so tie-breaking (lowest arc id) is identical."""
+    dt = alpha.dtype
+    arc = (
+        jnp.take(alpha, fsa.src, axis=1)
+        + fsa.weight.astype(dt)[None, :]
+        + _arc_emissions(i_t.astype(dt), fsa.ilabel)
+    )  # (B, E)
+    best = jax.ops.segment_max(
+        arc.T, fsa.dst, num_segments=fsa.num_states
+    ).T  # (B, S)
+    # arc index achieving the max per destination (deterministic:
+    # lowest arc id wins ties via the min over matching arcs)
+    is_best = arc >= jnp.take(best, fsa.dst, axis=1) - 0.0
+    arc_ids = jnp.arange(fsa.num_arcs, dtype=jnp.int32)[None, :]
+    big = jnp.asarray(fsa.num_arcs, jnp.int32)
+    cand = jnp.where(is_best & jnp.isfinite(arc), arc_ids, big)
+    back = jax.ops.segment_min(
+        cand.T, fsa.dst, num_segments=fsa.num_states
+    ).T  # (B, S)
+    return best, back
+
+
+def _wfsa_walk(fsa: WFSA, end_state: jnp.ndarray, backs: jnp.ndarray,
+               inside: jnp.ndarray):
+    """Arc backtrace from ``end_state`` through ``backs`` (T, B, S);
+    ``inside`` (T, B) marks consumed frames.  Returns (states, labels),
+    each (T, B) with -1 outside.  Shared one-shot/streaming."""
+    num_batches = end_state.shape[0]
+    src_ext = jnp.concatenate([fsa.src, jnp.zeros((1,), jnp.int32)])
+    lab_ext = jnp.concatenate([fsa.ilabel, -jnp.ones((1,), jnp.int32)])
+
+    def backtrack(state, xs):
+        back_t, in_t = xs  # (B, S), (B,)
+        arc = back_t[jnp.arange(num_batches), state]  # (B,)
+        arc = jnp.where(in_t, arc, fsa.num_arcs)
+        lab = jnp.take(lab_ext, arc)
+        prev = jnp.where(in_t, jnp.take(src_ext, arc), state)
+        out_state = jnp.where(in_t, state, -1)
+        return prev, (out_state, lab)
+
+    _, (states_rev, labels_rev) = lax.scan(
+        backtrack, end_state, (backs[::-1], inside[::-1])
+    )
+    return states_rev[::-1], labels_rev[::-1]
+
+
 def wfsa_viterbi(
     fsa: WFSA,
     inputs: jnp.ndarray,
@@ -279,26 +328,11 @@ def wfsa_viterbi(
         input_lengths = jnp.full((num_batches,), t_total, jnp.int32)
     dt = inputs.dtype
     alpha0 = jnp.broadcast_to(fsa.start.astype(dt), (num_batches, fsa.num_states))
+    big = jnp.asarray(fsa.num_arcs, jnp.int32)
 
     def step(alpha, xs):
         t, i_t = xs
-        arc = (
-            jnp.take(alpha, fsa.src, axis=1)
-            + fsa.weight.astype(dt)[None, :]
-            + _arc_emissions(i_t, fsa.ilabel)
-        )  # (B, E)
-        best = jax.ops.segment_max(
-            arc.T, fsa.dst, num_segments=fsa.num_states
-        ).T  # (B, S)
-        # arc index achieving the max per destination (deterministic:
-        # lowest arc id wins ties via the min over matching arcs)
-        is_best = arc >= jnp.take(best, fsa.dst, axis=1) - 0.0
-        arc_ids = jnp.arange(fsa.num_arcs, dtype=jnp.int32)[None, :]
-        big = jnp.asarray(fsa.num_arcs, jnp.int32)
-        cand = jnp.where(is_best & jnp.isfinite(arc), arc_ids, big)
-        back = jax.ops.segment_min(
-            cand.T, fsa.dst, num_segments=fsa.num_states
-        ).T  # (B, S) best incoming arc id (or E when unreachable)
+        best, back = _viterbi_arc_step(fsa, alpha, i_t)
         active = (t < input_lengths)[:, None]
         alpha_new = jnp.where(active, best, alpha)
         back = jnp.where(active, back, big)
@@ -310,25 +344,11 @@ def wfsa_viterbi(
     final_tot = alpha_fin + fsa.final.astype(dt)[None, :]
     scores = jnp.max(final_tot, axis=1)
     end_state = jnp.argmax(final_tot, axis=1).astype(jnp.int32)
-
-    src_ext = jnp.concatenate([fsa.src, jnp.zeros((1,), jnp.int32)])
-    lab_ext = jnp.concatenate([fsa.ilabel, -jnp.ones((1,), jnp.int32)])
-
-    def backtrack(state, xs):
-        t, back_t = xs  # back_t (B, S)
-        inside = t < input_lengths
-        arc = back_t[jnp.arange(num_batches), state]  # (B,)
-        arc = jnp.where(inside, arc, fsa.num_arcs)
-        lab = jnp.take(lab_ext, arc)
-        prev = jnp.where(inside, jnp.take(src_ext, arc), state)
-        out_state = jnp.where(inside, state, -1)
-        return prev, (out_state, lab)
-
-    ts_rev = jnp.arange(t_total - 1, -1, -1)
-    _, (states_rev, labels_rev) = lax.scan(
-        backtrack, end_state, (ts_rev, backs[::-1])
-    )
-    return WFSAPath(scores, states_rev[::-1], labels_rev[::-1])
+    inside = (
+        jnp.arange(t_total)[:, None] < input_lengths[None, :]
+    )  # (T, B)
+    states, labels = _wfsa_walk(fsa, end_state, backs, inside)
+    return WFSAPath(scores, states, labels)
 
 
 def wfsa_posteriors(
