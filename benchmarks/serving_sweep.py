@@ -356,12 +356,43 @@ def bench_wfsa(fetch_s):
     g(inputs)
     t_vit = _best(g, inputs, lambda _, o: o[1], fetch_s,
                   iters=6, repeats=2) * CHAIN_K / 2
+
+    # online form: per-chunk latency of the streaming WFSA best-path
+    # decoder on the same lexicon graph (serving chunk shape)
+    from torch_asg_tpu.ops.streaming import (
+        streaming_wfsa_viterbi_init, streaming_wfsa_viterbi_update,
+    )
+
+    t_c = 16
+    chunk = jnp.asarray(r.normal(size=(t_c, b, n)), jnp.float32)
+    st0 = streaming_wfsa_viterbi_init(fsa, b)
+    chain = 64
+
+    def swv_chain(chunk_in, st_in):
+        def body(carry, _):
+            st, ck = carry
+            st, (bk, v) = streaming_wfsa_viterbi_update(fsa, st, ck)
+            # thread backs so the arc bookkeeping cannot DCE
+            ck = ck + 0.0 * (st.delta[0, 0] + bk.sum().astype(ck.dtype))
+            return (st, ck), None
+        (st, ck), _ = jax.lax.scan(body, (st_in, chunk_in), None,
+                                   length=chain)
+        return st, ck
+
+    h = jax.jit(swv_chain)
+    _mark("compile streaming wfsa viterbi")
+    h(chunk, st0)
+    t_swv = _best(
+        lambda ck: h(ck, st0), chunk, lambda _, out: out[1], fetch_s,
+        steps=chain,
+    )
     print(json.dumps({
         "row": "wfsa_lexicon",
         "shape": {"B": b, "T": t, "N": n, "states": int(fsa.num_states),
                   "arcs": num_arcs, "words": words_count, "loop": False},
         "wfsa_score_ms": round(t_score, 2),
         "wfsa_viterbi_ms": round(t_vit, 2),
+        "streaming_viterbi_ms_per_chunk16": round(t_swv, 3),
         "backend": jax.default_backend(),
     }), flush=True)
 
