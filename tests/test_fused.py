@@ -240,3 +240,26 @@ def test_fused_bts_layout_knob_bit_identical(rng, monkeypatch):
     assert jnp.array_equal(v0, v1)
     assert jnp.array_equal(gt0, gt1)
     assert jnp.array_equal(gi0, gi1)
+
+
+def test_einsum_swap_knob_matches(rng, monkeypatch):
+    """ASG_EINSUM_SWAP=1 flips the one-hot gather/scatter dot
+    orientation (scripts/exp_r3_layout.py probes the layout-copy
+    saving) — fused loss values and gradients must match the default
+    orientation to fp32 roundoff."""
+    trans, inputs, targets, li, lo = _case(rng, 24, 5, 6, 7)
+
+    def vg():
+        def loss(tr_, inp_):
+            full, aligned = asg_scores_fused(tr_, inp_, targets, li, lo)
+            return jnp.sum(full - aligned)
+
+        return jax.value_and_grad(loss, argnums=(0, 1))(trans, inputs)
+
+    monkeypatch.delenv("ASG_EINSUM_SWAP", raising=False)
+    v0, (gt0, gi0) = vg()
+    monkeypatch.setenv("ASG_EINSUM_SWAP", "1")
+    v1, (gt1, gi1) = vg()
+    np.testing.assert_allclose(v0, v1, rtol=1e-6)
+    np.testing.assert_allclose(gt0, gt1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(gi0, gi1, rtol=1e-5, atol=1e-6)
