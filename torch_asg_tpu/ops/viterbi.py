@@ -11,6 +11,9 @@ recursions with max instead of logsumexp, plus an argmax backtrace:
   * ``viterbi_align``: best monotonic alignment of the target sequence to
     the frames (the segmentation that gives ASG its name; counterpart of
     fac_score).
+  * ``viterbi_nbest``: the k best distinct paths (LM rescoring).
+  * ``beam_decode``: beam-pruned approximate decode for wordpiece-scale
+    vocabularies — O(T B N K) instead of O(T B N^2), exact at K >= N.
 
 Ragged lengths are masked exactly like the loss kernels; emitted paths use
 -1 at padding frames.
