@@ -249,6 +249,39 @@ def fused_hbm_bytes():
 
 
 def main():
+    # Bounded backend probe: a dead tunnel can HANG device init for ~10
+    # minutes before raising (2026-08-17 saw a 10+ hour axon UNAVAILABLE
+    # window; docs/PERF_R3.md §5).  Emit an explicit marker row so the
+    # recorded artifact says WHY there is no measurement, instead of a
+    # bare crash or an unbounded hang.
+    import threading
+
+    probe = {}
+
+    def _probe():
+        try:
+            jax.devices()
+            probe["ok"] = True
+        except Exception as e:  # RuntimeError on init failure
+            probe["err"] = e
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(600)
+    if probe.get("ok") is not True:
+        err = probe.get("err")
+        detail = (str(err).splitlines()[0][:200] if err is not None
+                  else "backend init still hanging after 600 s")
+        print(json.dumps({
+            "metric": "asg_fwd_bwd_frames_per_sec_per_chip",
+            "value": 0,
+            "unit": "frames/s",
+            "vs_baseline": 0,
+            "error": "tpu_backend_unavailable",
+            "detail": detail,
+        }))
+        return 1
+
     from torch_asg_tpu import asg_loss, viterbi_decode
     from torch_asg_tpu.ops.pallas.asg_kernels import strict_chain_precision
     from torch_asg_tpu.utils.profiling import fetch_overhead_s
