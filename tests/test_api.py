@@ -388,3 +388,92 @@ def test_precision_kwarg_reaches_backward(rng, impl):
     # both the forward and the backward portion of the same jaxpr
     plain = _dot_precision_kinds(jax.grad(lambda tr: loss(tr, None)), trans)
     assert "DEFAULT" in plain, plain
+
+
+# ---------------------------------------------------------------------------
+# Exp-domain spread guard (VERDICT r3 item 3): the reference's log-domain
+# C++ recursions accept any finite magnitudes (fully_connected_lattice.cpp:
+# 24-27); the exp-domain tiers here do not.  The guard makes the failure
+# mode impossible to hit silently: a 150-nat finite spread is either
+# rejected, routed to the correct log-domain tier, or NaN-poisoned —
+# never silently -inf / zero-grad / clamped-grad.
+# ---------------------------------------------------------------------------
+
+
+def _spread_case(rng, spread=150.0, T=6, B=2, S=3, N=5):
+    inputs = jnp.asarray(rng.normal(size=(T, B, N)), jnp.float32)
+    targets = jnp.asarray(rng.integers(0, N, size=(B, S)), jnp.int32)
+    trans = jnp.asarray(rng.normal(size=(N, N)), jnp.float32)
+    trans = trans.at[0, 1].set(-spread)  # finite 150-nat penalty
+    return trans, inputs, targets
+
+
+def test_spread_guard_auto_routes_to_scan(rng):
+    trans, inputs, targets = _spread_case(rng)
+    got = asg_loss(trans, inputs, targets, impl="auto", reduction="none")
+    want = asg_loss(trans, inputs, targets, impl="scan", reduction="none")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+    assert np.isfinite(np.asarray(got)).all()
+
+
+@pytest.mark.parametrize("impl", ["fused", "pallas", "matmul"])
+def test_spread_guard_explicit_impl_raises(rng, impl):
+    trans, inputs, targets = _spread_case(rng)
+    with pytest.raises(ValueError, match="spread"):
+        asg_loss(trans, inputs, targets, impl=impl)
+
+
+def test_spread_guard_traced_poisons_nan(rng):
+    # Under jit the transition is a tracer: the guard runs in-graph and
+    # NaN-poisons the loss instead of returning silently wrong numbers.
+    trans, inputs, targets = _spread_case(rng)
+    f = jax.jit(lambda tr: asg_loss(tr, inputs, targets, impl="fused",
+                                    reduction="none"))
+    assert np.isnan(np.asarray(f(trans))).all()
+    # ... and leaves a healthy transition untouched (same compiled fn).
+    ok = jnp.zeros_like(trans)
+    healthy = np.asarray(f(ok))
+    want = np.asarray(asg_loss(ok, inputs, targets, impl="scan",
+                               reduction="none"))
+    np.testing.assert_allclose(healthy, want, rtol=1e-4)
+
+
+def test_spread_guard_validate_false_overrides(rng):
+    trans, inputs, targets = _spread_case(rng)
+    out = asg_loss(trans, inputs, targets, impl="fused", validate=False,
+                   reduction="none")
+    assert out.shape == (2,)  # unguarded path dispatches (values unspecified)
+
+
+def test_spread_guard_ignores_neg_inf(rng):
+    # -inf is the semiring zero, fully supported on every tier: it must
+    # not trip the guard, eagerly or in-graph.
+    trans, inputs, targets = _spread_case(rng, spread=0.0)
+    trans = trans.at[0, 1].set(-np.inf)
+    eager = asg_loss(trans, inputs, targets, impl="fused", reduction="none")
+    jitted = jax.jit(
+        lambda tr: asg_loss(tr, inputs, targets, impl="fused",
+                            reduction="none"))(trans)
+    assert np.isfinite(np.asarray(eager)).all()
+    np.testing.assert_allclose(np.asarray(jitted), np.asarray(eager),
+                               rtol=1e-5)
+
+
+def test_spread_guard_scores_api(rng):
+    trans, inputs, targets = _spread_case(rng)
+    f = jax.jit(lambda tr: asg_scores(tr, inputs, targets, impl="fused"))
+    full, aligned = f(trans)
+    assert np.isnan(np.asarray(full)).all()
+    assert np.isnan(np.asarray(aligned)).all()
+    with pytest.raises(ValueError, match="spread"):
+        asg_scores(trans, inputs, targets, impl="fused")
+
+
+def test_spread_guard_temperature_scales_bound(rng):
+    # temperature divides the transition before the chains: a 40-nat raw
+    # spread is fine at tau=1 but becomes 160 effective nats at tau=0.25.
+    trans, inputs, targets = _spread_case(rng, spread=40.0)
+    out = asg_loss(trans, inputs, targets, impl="fused", reduction="none")
+    assert np.isfinite(np.asarray(out)).all()
+    with pytest.raises(ValueError, match="spread"):
+        asg_loss(trans, inputs, targets, impl="fused", temperature=0.25)

@@ -65,6 +65,72 @@ def _reduce(result: jnp.ndarray, reduction: str) -> jnp.ndarray:
     raise ValueError(f"unknown reduction {reduction!r}; expected one of {REDUCTIONS}")
 
 
+# Exp-domain safety bound (nats) on the finite transition spread
+# max(finite T) - min(finite T), checked by default (``validate=True``).
+# The fused/pallas/matmul tiers scale chains by exp(T - max T): beyond
+# the fp32 exp range scores silently go -inf with zeroed gradients, and
+# the matmul backward clamps exponents at 60 nats (ops/fcc.py) producing
+# finite-but-wrong gradients.  60 is the tightest tier precondition; the
+# reference's log-domain C++ recursions have no such bound
+# (fully_connected_lattice.cpp:24-27), so hand-crafted large finite
+# penalties ported from it must route to impl='scan' (log-domain here
+# too).  -inf entries are exempt: they are the semiring zero and fully
+# supported on every tier.
+_EXP_SPREAD_LIMIT = 60.0
+_EXP_DOMAIN_IMPLS = ("fused", "pallas", "matmul")
+
+
+def _spread_guard(transition, impl: str, temperature: float, validate: bool):
+    """Host-side exp-domain precondition check (VERDICT r3 item 3).
+
+    Returns ``(impl, needs_ingraph_guard)``.  With a CONCRETE transition
+    (eager call) the finite spread is checked on the host: 'auto' with an
+    oversized spread routes to the log-domain 'scan' tier (always
+    correct, like the reference's C++ recursions); an EXPLICIT exp-domain
+    tier raises.  Under a trace (jit/grad/vmap) the value is unknowable
+    host-side, so the caller adds an in-graph guard that poisons the
+    output with NaN when the spread exceeds the bound — converting the
+    silent -inf/zeroed-grad (fused) or clamped-grad (matmul) failure
+    modes into a loud signal.  ``validate=False`` is the explicit
+    override that restores the unguarded fast path.
+    """
+    if not validate or impl == "scan":
+        return impl, False
+    # Temperature divides the transition before the chains run, so the
+    # effective bound on the RAW spread scales with tau.
+    limit = _EXP_SPREAD_LIMIT * temperature
+    if isinstance(transition, jax.core.Tracer):
+        return impl, True
+    import numpy as np
+
+    t = np.asarray(transition)
+    finite = np.isfinite(t)
+    spread = float(t[finite].max() - t[finite].min()) if finite.any() else 0.0
+    if spread > limit:
+        if impl == "auto":
+            return "scan", False
+        raise ValueError(
+            f"impl={impl!r} runs exp-domain chains whose finite "
+            f"transition spread must stay within {limit:.0f} nats "
+            f"(fp32 exp range); got spread={spread:.1f}.  Use -inf for "
+            f"forbidden transitions (fully supported), impl='scan' "
+            f"(log-domain, any finite magnitude), or validate=False to "
+            f"override."
+        )
+    return impl, False
+
+
+def _ingraph_spread_poison(out, transition):
+    """NaN-poison ``out`` when the finite transition spread exceeds the
+    exp-domain bound (traced-transition arm of ``_spread_guard``).  Two
+    (N, N) reductions + a select — noise next to the lattice chains."""
+    finite = jnp.isfinite(transition)
+    hi = jnp.max(jnp.where(finite, transition, -jnp.inf))
+    lo = jnp.min(jnp.where(finite, transition, jnp.inf))
+    bad = (hi - lo) > _EXP_SPREAD_LIMIT  # all--inf: -inf > limit is False
+    return jnp.where(bad, jnp.asarray(jnp.nan, out.dtype), out)
+
+
 # Largest padded label/target widths the fused kernel keeps VMEM-resident
 # (the (N_pad, N_pad) transition exponentials plus double-buffered block
 # streams must fit in the ~16 MB scoped-VMEM budget; N=1024 was measured
@@ -149,6 +215,7 @@ def asg_loss(
     impl: str = "auto",
     temperature: float = 1.0,
     precision=None,
+    validate: bool = True,
 ) -> jnp.ndarray:
     """ASG loss.
 
@@ -189,7 +256,15 @@ def asg_loss(
     scores to -inf with zeroed gradients.  Learned transitions live in
     single digits; hand-crafted penalties beyond ~±40 should either use
     -inf (fully supported as the semiring zero) or ``impl='scan'``
-    (log-domain throughout).  See CLAUDE.md's numeric-invariant notes.
+    (log-domain throughout, like the reference's C++ recursions).
+
+    ``validate=True`` (the default) GUARDS this precondition: with a
+    concrete transition the spread is checked host-side before dispatch
+    ('auto' routes to 'scan' past 60 nats; an explicit exp-domain tier
+    raises ValueError); under jit/grad the check runs in-graph and
+    NaN-poisons the loss instead of returning silently wrong numbers.
+    ``validate=False`` restores the unguarded path (the in-graph check
+    costs two (N, N) reductions per step — negligible below N~10k).
     """
     inputs, targets, input_lengths, target_lengths = _prep(
         inputs, targets, input_lengths, target_lengths
@@ -198,6 +273,7 @@ def asg_loss(
     inputs, transition = inputs.astype(dt), transition.astype(dt)
     if temperature <= 0.0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
+    impl, ingraph_guard = _spread_guard(transition, impl, temperature, validate)
     scores_fn = _resolve_impl(impl, inputs.shape[2], targets.shape[1])
     if temperature != 1.0:
         # Note: the aligned-lattice gather treats finite emissions below
@@ -221,6 +297,8 @@ def asg_loss(
     out = full - aligned
     if temperature != 1.0:
         out = out * temperature
+    if ingraph_guard:
+        out = _ingraph_spread_poison(out, transition)
     return _reduce(out, reduction)
 
 
@@ -233,6 +311,7 @@ def asg_scores(
     *,
     impl: str = "auto",
     temperature: float = 1.0,
+    validate: bool = True,
 ):
     """(full_scores, aligned_scores) per batch element, shape (B,) each.
 
@@ -242,6 +321,8 @@ def asg_scores(
     ``temperature`` applies the same generalized-semiring scaling as
     ``asg_loss`` (tech_report.tex:78-88): score_tau = tau * score(T/tau,
     I/tau), so ``asg_loss(..., temperature=tau)`` == full - aligned here.
+    ``validate`` guards the exp-domain spread precondition exactly as in
+    ``asg_loss``.
     """
     inputs, targets, input_lengths, target_lengths = _prep(
         inputs, targets, input_lengths, target_lengths
@@ -250,6 +331,7 @@ def asg_scores(
     inputs, transition = inputs.astype(dt), transition.astype(dt)
     if temperature <= 0.0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
+    impl, ingraph_guard = _spread_guard(transition, impl, temperature, validate)
     scores_fn = _resolve_impl(impl, inputs.shape[2], targets.shape[1])
     if temperature != 1.0:
         inv = 1.0 / temperature
@@ -261,6 +343,9 @@ def asg_scores(
     if temperature != 1.0:
         full = full * temperature
         aligned = aligned * temperature
+    if ingraph_guard:
+        full = _ingraph_spread_poison(full, transition)
+        aligned = _ingraph_spread_poison(aligned, transition)
     return full, aligned
 
 
