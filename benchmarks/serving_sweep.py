@@ -141,10 +141,14 @@ def bench_streaming_beam(fetch_s):
     chunk = jnp.asarray(r.normal(size=(t_c, b, n)), jnp.float32)
     st0 = streaming_beam_init(b, k)
 
-    def beam_chain(chunk_in, st_in):
+    # trans is 400 MB at N=10k: it MUST be a jit argument — as a closure
+    # constant it bakes into the HLO body and the remote-compile tunnel
+    # chokes on it (observed: the r4 first sweep attempt hung 15+ min
+    # uploading it; CLAUDE.md's HTTP-413 trap).
+    def beam_chain(tr, chunk_in, st_in):
         def body(carry, _):
             st, ck = carry
-            st, (lab, bp, valid) = streaming_beam_update(trans, st, ck)
+            st, (lab, bp, valid) = streaming_beam_update(tr, st, ck)
             # thread labels+bps so the slot bookkeeping cannot DCE
             ck = ck + 0.0 * (st.delta[0, 0]
                              + (lab.sum() + bp.sum()).astype(ck.dtype))
@@ -155,9 +159,9 @@ def bench_streaming_beam(fetch_s):
 
     f = jax.jit(beam_chain)
     _mark(f"compile streaming beam N={n}")
-    f(chunk, st0)
+    f(trans, chunk, st0)
     t_beam = _best(
-        lambda ck: f(ck, st0), chunk, lambda _, out: out[1], fetch_s,
+        lambda ck: f(trans, ck, st0), chunk, lambda _, out: out[1], fetch_s,
         steps=chain,
     )
     print(json.dumps({
