@@ -372,3 +372,78 @@ def test_prefetcher_close_unblocks_blocked_consumer():
     consumer.join(timeout=5.0)
     assert not consumer.is_alive(), "consumer stayed blocked after close()"
     assert result["outcome"] == "stopped"
+
+
+def test_bucketed_streaming_beam_end_to_end(rng):
+    """Serving-path composition stress (VERDICT r3 item 6): ragged
+    traffic -> BucketBatcher -> fixed-size streaming chunks crossing
+    utterance boundaries -> streaming beam decode -> backtrace, checked
+    for exact parity against (a) one-shot beam_decode on the bucketed
+    batch and (b) a tight per-utterance one-shot decode — the pieces are
+    individually pinned elsewhere; this drives the pipeline a production
+    recognizer actually runs."""
+    from torch_asg_tpu import beam_decode
+    from torch_asg_tpu.ops.streaming import (
+        streaming_beam_backtrace,
+        streaming_beam_init,
+        streaming_beam_update,
+    )
+    from torch_asg_tpu.runtime import BucketBatcher
+
+    N, k, chunk = 6, 3, 7  # chunk=7 never divides the time buckets
+    bb = BucketBatcher(
+        batch_size=3, time_buckets=[8, 16, 32], target_buckets=[4, 8]
+    )
+    utts = []
+    for _ in range(10):
+        t = int(rng.integers(2, 33))
+        feats = np.asarray(rng.normal(size=(t, N)), np.float32)
+        labels = rng.integers(0, N, size=int(rng.integers(1, 5)))
+        utts.append((feats, labels))
+    trans = jnp.asarray(rng.normal(size=(N, N)), jnp.float64)
+
+    decoded = {}  # utterance key -> (score, path prefix)
+    for batch in bb.batches(iter(utts)):
+        emissions = jnp.asarray(batch["features"], jnp.float64)
+        lengths = jnp.asarray(batch["feature_lengths"], jnp.int32)
+        t_bucket, num_batches = emissions.shape[:2]
+
+        st = streaming_beam_init(num_batches, k, dtype=jnp.float64)
+        labs, bps, vals = [], [], []
+        for off in range(0, t_bucket, chunk):
+            t_c = min(chunk, t_bucket - off)
+            cl = jnp.clip(lengths - off, 0, t_c).astype(jnp.int32)
+            st, (lab, bp, v) = streaming_beam_update(
+                trans, st, emissions[off : off + t_c], chunk_lengths=cl
+            )
+            labs.append(lab)
+            bps.append(bp)
+            vals.append(v)
+        got = streaming_beam_backtrace(
+            st, jnp.concatenate(labs), jnp.concatenate(bps),
+            jnp.concatenate(vals),
+        )
+        want = beam_decode(trans, emissions, lengths, beam_size=k)
+        np.testing.assert_allclose(got.scores, want.scores, rtol=1e-12)
+        np.testing.assert_array_equal(got.paths, want.paths)
+        for i in range(num_batches):
+            if not batch["pad_mask"][i]:
+                continue
+            L = int(lengths[i])
+            key = batch["features"][:L, i].tobytes()
+            decoded[key] = (
+                float(got.scores[i]), np.asarray(got.paths[:L, i])
+            )
+
+    # every utterance decoded once, identical to its tight one-shot decode
+    assert len(decoded) == len(utts)
+    for feats, _ in utts:
+        score, path = decoded[feats.tobytes()]
+        tight = beam_decode(
+            trans,
+            jnp.asarray(feats[:, None, :], jnp.float64),
+            jnp.asarray([feats.shape[0]], jnp.int32),
+            beam_size=k,
+        )
+        np.testing.assert_allclose(score, float(tight.scores[0]), rtol=1e-12)
+        np.testing.assert_array_equal(path, np.asarray(tight.paths[:, 0]))
