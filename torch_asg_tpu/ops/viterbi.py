@@ -69,6 +69,12 @@ _TOPK_SORT_MAX_WIDTH = 4096
 
 def _topk(x: jnp.ndarray, k: int):
     """``lax.top_k`` with a reduction-based fallback for wide axes."""
+    if k > x.shape[-1]:
+        # lax.top_k raises here; the fallback would otherwise silently
+        # emit the out-of-range index ``width`` once all entries are
+        # taken.  Keep both branches on the same contract.
+        raise ValueError(
+            f"_topk: k={k} exceeds last-axis width {x.shape[-1]}")
     if x.shape[-1] <= _TOPK_SORT_MAX_WIDTH:
         vals, idx = lax.top_k(x, k)
         return vals, idx.astype(jnp.int32)
@@ -429,8 +435,11 @@ def beam_decode(
     Viterbi score, with equality whenever the true best path's label at
     every frame is inside that frame's beam.  Scores are monotonically
     non-decreasing in ``beam_size`` (beam sets are pointwise dominated),
-    and ``beam_size >= N`` reproduces ``viterbi_decode`` exactly — both
-    pinned by tests/test_viterbi.py.
+    and ``beam_size >= N`` reproduces ``viterbi_decode``'s SCORES
+    exactly — both pinned by tests/test_viterbi.py.  Paths match up to
+    tie-breaking: ties are resolved over score-ranked beam slots (the
+    lowest slot wins), not over the lowest source label as in the exact
+    decoder, so on exact score ties an equally-scoring path may differ.
 
     The per-step transition fetch is an embedding-style CONTIGUOUS-ROW
     gather from the transposed (from, to) table — whole (N,)-row DMA,
