@@ -1,6 +1,11 @@
 """Round-3 layout-copy probe #2: consume the one-hot gather's NATIVE
 (B, T, S) output with (B, kb, S) Pallas blocks + in-kernel transpose.
 
+
+ADJUDICATED (round 4, docs/PERF_R4.md §2): the native-(B,T,S) stream
+measured GO (~30 us) and is now the unconditional kernel default; the
+ASG_BTS env knob was deleted.  This probe remains the standalone
+microbenchmark of the three block arrangements.
 PERF_R3 §3 names 110 us of XLA minor-dim relayout copies around the
 one-hot einsums as the one open lead, and records that (kb, B, S) blocks
 over a (B, S, T) array are structurally rejected by Mosaic (minor block

@@ -1,6 +1,11 @@
 """Round-3 layout-copy experiment: dot orientation of the one-hot
 gather/scatter einsums.
 
+ADJUDICATED (round 4, docs/PERF_R4.md §2): swapped orientation measured
+GO (~15 us) and is now the unconditional default; the ASG_EINSUM_SWAP
+env knob was deleted, so both legs of this script now measure the same
+(production) configuration.  Kept as the timing harness of record.
+
 PERF_R3 §3 names 110 us of XLA minor-dim layout copies around the
 one-hot einsums as the one open lead.  The only source-level lever over
 the copy's direction is the dot's operand orientation (dot_general

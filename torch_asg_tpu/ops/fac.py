@@ -51,15 +51,6 @@ from ..utils.lengths import label_mask, time_mask
 _ONEHOT_MAX_LABELS = 512
 
 
-def _einsum_swap() -> bool:
-    """Experiment knob: flip the one-hot gather/scatter dot orientation
-    (see scripts/exp_r3_layout.py).  Read lazily so a harness can toggle
-    it per-trace without reimporting."""
-    import os
-
-    return os.environ.get("ASG_EINSUM_SWAP", "0") == "1"
-
-
 class AlignedLattice(NamedTuple):
     """Gathered, aligned-domain views of the emissions and transitions."""
 
@@ -107,22 +98,16 @@ def gather_aligned_emissions(inputs, tgt, onehot, tmask, smask,
         valid = (jnp.transpose(tmask)[:, :, None] & smask[:, None, :]
                  & (aligned > 0.5 * sentinel))
         return jnp.where(valid, aligned, NEG_INF)
-    if _einsum_swap():
-        # experiment knob (scripts/exp_r3_layout.py): flip the dot
-        # orientation (onehot as lhs -> native output order (b, s, t))
-        # to probe whether XLA's layout assignment then relays the
-        # kernels' (t, b, s) operand with S kept minor — a contiguous
-        # row permutation instead of the ~460 GB/s minor-dim transpose
-        # PERF_R3 §3 names as the one open lead
-        aligned = jnp.einsum(
-            "bsi,tbi->tbs", onehot, safe_inputs,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    else:
-        aligned = jnp.einsum(
-            "tbi,bsi->tbs", safe_inputs, onehot,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+    # onehot-as-lhs orientation: XLA's layout assignment then feeds the
+    # kernels' (t, b, s) operand with S kept minor — a contiguous row
+    # permutation instead of the ~460 GB/s minor-dim transpose copy.
+    # Measured GO at the bench shape (round-4 adjudication of the
+    # ASG_EINSUM_SWAP knob, docs/PERF_R4.md §2: ~15 µs off the fused
+    # step); the mirrored "tbi,bsi->tbs" form was deleted with the knob.
+    aligned = jnp.einsum(
+        "bsi,tbi->tbs", onehot, safe_inputs,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     valid = tmask[:, :, None] & smask[None, :, :] & (aligned > 0.5 * sentinel)
     return jnp.where(valid, aligned, NEG_INF)
 
@@ -347,16 +332,14 @@ def scatter_to_full(
         ].add(g_next_trans[:, :-1])
         return grad_transition, grad_inputs
 
-    if _einsum_swap():
-        grad_inputs = jnp.einsum(
-            "bsi,tbs->tbi", lat.onehot, g_aligned,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    else:
-        grad_inputs = jnp.einsum(
-            "tbs,bsi->tbi", g_aligned, lat.onehot,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+    # onehot-as-lhs orientation, like the gather (round-4 GO memo,
+    # docs/PERF_R4.md §2): keeps the scatter's operand/result layouts
+    # aligned with the kernels' streams and measured faster than the
+    # mirrored "tbs,bsi->tbi" form.
+    grad_inputs = jnp.einsum(
+        "bsi,tbs->tbi", lat.onehot, g_aligned,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     # dT[i,j] += sum_{b,s} 1[y_s = i] g_self[b,s] 1[y_s = j]
     #          + sum_{b,s} 1[y_{s+1} = i] g_next[b,s] 1[y_s = j]

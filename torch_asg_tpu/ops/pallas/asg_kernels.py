@@ -72,15 +72,14 @@ from ..fac import make_aligned, scatter_to_full
 ASG_TIME_BLOCK = 8
 
 
-def _use_bts() -> bool:
-    """Experiment knob (scripts/exp_r3_bts.py): stream the aligned
-    emissions in their batched-dot-NATIVE (B, T, S) layout and consume
-    (B, kb, S) blocks with one in-kernel swapaxes per block, instead of
-    letting XLA insert the ~55 us (B,S,T)->(T,B,S) minor-dim relayout
-    copy PERF_R3 §3 names as the open lead.  Read lazily at trace time."""
-    import os
+# The aligned emissions stream in their batched-dot-NATIVE (B, T, S)
+# layout and the kernels consume (B, kb, S) blocks with one in-kernel
+# swapaxes per block, instead of letting XLA insert the ~55 µs
+# (B,S,T)->(T,B,S) minor-dim relayout copy PERF_R3 §3 named as the open
+# lead.  Measured GO at the bench shape (round-4 adjudication of the
+# ASG_BTS knob, docs/PERF_R4.md §2: ~30 µs off the fused step); the
+# (kb, B, S)-block tbs arm was deleted with the knob.
 
-    return os.environ.get("ASG_BTS", "0") == "1"
 # MXU precision for the chain matmuls, shared with the matmul
 # formulation (knob + rationale live in ops/semiring.py: DEFAULT = one
 # bf16 pass, ~20% faster, ~2e-5 relative score drift at T=1000).
@@ -158,7 +157,7 @@ def _fwd_kernel(
     li_ref, lo_ref, e_ref, self_ref, next_ref, ib_ref, aib_ref,
     # outputs (store variant): pb_ref, qb_ref, then sful/sfac
     *refs,
-    kb, num_labels, store, bts=False,
+    kb, num_labels, store,
 ):
     if store:
         pb_ref, qb_ref, sful_ref, sfac_ref = refs[:4]
@@ -200,7 +199,7 @@ def _fwd_kernel(
     # the ragged time mask, and exponentiate the FCC emissions.
     ib_m = _masked_block(ib_ref, li, b_start, n_pad, kb)
     eib_blk, cib_blk = _exp_rows(ib_m)
-    aib_raw = jnp.swapaxes(aib_ref[:], 0, 1) if bts else aib_ref[:]
+    aib_raw = jnp.swapaxes(aib_ref[:], 0, 1)  # (B, kb, S) -> rows of (B, S)
     aib_blk = _lane_pad(aib_raw, s_pad, NEG_INF)  # pre-masked by gather
 
     pb, qb = pb_c[:], qb_c[:]
@@ -259,7 +258,7 @@ def _bwd_kernel(
     ia_ref, aia_ref, pb_ref, qb_ref,
     gi_ref, gali_ref, gt_ref, gself_ref, gnext_ref,
     pa_c, qa_c, acc_t, acc_self, acc_diag,
-    *, kb, num_labels, bts=False,
+    *, kb, num_labels,
 ):
     k = pl.program_id(0)
     nb = pl.num_programs(0)
@@ -284,7 +283,7 @@ def _bwd_kernel(
     t0 = k * kb
     ia_m = _masked_block(ia_ref, li, t0, n_pad, kb)
     eia_blk, _ = _exp_rows(ia_m)
-    aia_raw = jnp.swapaxes(aia_ref[:], 0, 1) if bts else aia_ref[:]
+    aia_raw = jnp.swapaxes(aia_ref[:], 0, 1)  # (B, kb, S) -> rows of (B, S)
     aia_blk = _lane_pad(aia_raw, s_pad, NEG_INF)
     # residuals were stored at raw width; re-pad with exact semiring zeros
     pb_blk = _lane_pad(pb_ref[:], n_pad, 0.0)
@@ -415,12 +414,11 @@ def _run_fwd(li_col, lo_col, e, self_p, next_p, ip, ap, geom, store):
     num_labels, n_pad, s_pad = geom
     t_pad, b_pad, n_raw = ip.shape
     s_raw = ap.shape[2]
-    bts = ap.shape[0] == b_pad and ap.shape[1] == t_pad and _use_bts()
     kb = ASG_TIME_BLOCK
     nb = t_pad // kb
     dt = e.dtype
     kern = functools.partial(
-        _fwd_kernel, kb=kb, num_labels=num_labels, store=store, bts=bts
+        _fwd_kernel, kb=kb, num_labels=num_labels, store=store
     )
     score_shape = jax.ShapeDtypeStruct((b_pad, 1), dt)
     out_specs = [_const((b_pad, 1)), _const((b_pad, 1))]
@@ -445,7 +443,7 @@ def _run_fwd(li_col, lo_col, e, self_p, next_p, ip, ap, geom, store):
             _const((b_pad, s_pad)),
             _const((b_pad, s_pad)),
             _desc(kb, b_pad, n_raw, nb),
-            _bts_desc(kb, b_pad, s_raw, nb) if bts else _desc(kb, b_pad, s_raw, nb),
+            _bts_desc(kb, b_pad, s_raw, nb),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -471,11 +469,10 @@ def _run_bwd(
     num_labels, n_pad, s_pad = geom
     t_pad, b_pad, n_raw = ip.shape
     s_raw = ap.shape[2]
-    bts = ap.shape[0] == b_pad and ap.shape[1] == t_pad and _use_bts()
     kb = ASG_TIME_BLOCK
     nb = t_pad // kb
     dt = e.dtype
-    kern = functools.partial(_bwd_kernel, kb=kb, num_labels=num_labels, bts=bts)
+    kern = functools.partial(_bwd_kernel, kb=kb, num_labels=num_labels)
     return pl.pallas_call(
         kern,
         grid=(nb,),
@@ -488,7 +485,7 @@ def _run_bwd(
             _const((b_pad, s_pad)),
             _const((b_pad, s_pad)),
             _asc(kb, b_pad, n_raw),
-            _bts_asc(kb, b_pad, s_raw) if bts else _asc(kb, b_pad, s_raw),
+            _bts_asc(kb, b_pad, s_raw),
             _asc(kb, b_pad, pb.shape[2]),
             _asc(kb, b_pad, qb.shape[2]),
         ],
@@ -525,9 +522,8 @@ def _run_bwd(
 def _prepare(transition, inputs, targets, input_lengths, target_lengths):
     """Gathers + geometry.  No emission-sized mask/pad copies happen here:
     the kernels lane-pad and length-mask in VMEM."""
-    bts = _use_bts()
     lat = make_aligned(transition, inputs, targets, input_lengths,
-                       target_lengths, layout="bts" if bts else "tbs")
+                       target_lengths, layout="bts")
     t_total, num_batches, num_labels = inputs.shape
     s_total = targets.shape[1]
     kb = ASG_TIME_BLOCK
@@ -541,10 +537,8 @@ def _prepare(transition, inputs, targets, input_lengths, target_lengths):
     # 128 — measured cost of the in-VMEM pad is zero, traffic drops ~4x
     # at the benchmark shape.
     ip = pad_axis(pad_axis(inputs, b_pad, 1, NEG_INF), t_pad, 0, NEG_INF)
-    if bts:  # native (B, T, S) stream, consumed as (B, kb, S) blocks
-        ap = pad_axis(pad_axis(lat.inputs, b_pad, 0, NEG_INF), t_pad, 1, NEG_INF)
-    else:
-        ap = pad_axis(pad_axis(lat.inputs, b_pad, 1, NEG_INF), t_pad, 0, NEG_INF)
+    # native (B, T, S) aligned stream, consumed as (B, kb, S) blocks
+    ap = pad_axis(pad_axis(lat.inputs, b_pad, 0, NEG_INF), t_pad, 1, NEG_INF)
     # Any finite c works (it cancels against the (L_in-1)*c repayment);
     # the max keeps every exp argument <= 0.
     c = jnp.max(transition)

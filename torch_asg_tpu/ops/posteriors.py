@@ -111,3 +111,78 @@ def fac_posteriors(
     alpha = _fac_alpha(lat)
     beta = _fac_beta(lat, input_lengths, target_lengths)
     return masked_softmax(alpha + beta, axis=2)
+
+
+def posterior_decode(
+    transition: jnp.ndarray,
+    inputs: jnp.ndarray,
+    input_lengths: Optional[jnp.ndarray] = None,
+    *,
+    temperature: float = 1.0,
+    impl: str = "auto",
+):
+    """Minimum-frame-risk (MAP-frame) decode at temperature tau.
+
+    Per-frame argmax of the full-lattice posteriors — the decode that
+    minimizes EXPECTED FRAME error under the model, versus
+    ``viterbi_decode``'s sequence-error (tropical) decode.  The
+    ``temperature`` knob interpolates the whole semiring family of the
+    reference's tech report (``doc/tech_report.tex:78-88``): tau = 1 is
+    the classic posterior decode, tau -> 0 concentrates the marginals on
+    the 1-best path and recovers ``viterbi_decode``'s labels exactly
+    (pinned by test), tau > 1 anneals toward the uniform.
+
+    Returns a ``ViterbiResult``: ``paths`` (T, B) int32 with -1 past each
+    utterance's length, ``scores`` (B,) = the decoded labels' summed
+    posterior mass over valid frames — the expected number of correct
+    frames, i.e. the MBR objective value at tau (NOT a log path score;
+    rescore paths with ``asg_scores`` if a path score is needed).
+
+    impl='pallas' computes the posteriors as the GRADIENT of the
+    Pallas-kernel denominator score (the identity posteriors == d
+    fcc_score / d inputs, tech_report.tex:174) — the same fused backward
+    kernel the training step runs, so the decode rides the production
+    kernels instead of the XLA scan.  'scan' uses the lax.scan
+    alpha/beta oracle ('matmul' form past 512 labels); 'auto' = 'pallas'
+    up to the kernel width budget, 'scan' beyond.
+    """
+    _check_temperature(temperature)
+    if impl not in ("auto", "scan", "pallas"):
+        raise ValueError(
+            f"unknown impl {impl!r}; expected 'auto', 'scan' or 'pallas'")
+    t_total, num_batches, num_labels = inputs.shape
+    if input_lengths is None:
+        input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
+    if impl == "auto":
+        impl = "pallas" if num_labels <= _MM_MIN_LABELS else "scan"
+    if impl == "pallas":
+        if num_labels > _MM_MIN_LABELS:
+            raise ValueError(
+                f"impl='pallas' supports num_labels <= {_MM_MIN_LABELS}; "
+                f"got {num_labels}.  Use impl='scan' (matmul form).")
+        if inputs.dtype in (jnp.bfloat16, jnp.float16):
+            inputs = inputs.astype(jnp.float32)
+        transition = transition.astype(inputs.dtype)
+        if temperature != 1.0:
+            inv = 1.0 / temperature
+            transition = transition * inv
+            inputs = inputs * inv
+        from .pallas import fcc_score_pallas
+        import jax
+
+        post = jax.grad(
+            lambda i: fcc_score_pallas(transition, i, input_lengths).sum()
+        )(inputs)
+    else:
+        post = fcc_posteriors(
+            transition, inputs, input_lengths, temperature=temperature
+        )
+    from .viterbi import ViterbiResult
+
+    labels = jnp.argmax(post, axis=2).astype(jnp.int32)
+    best = jnp.max(post, axis=2)
+    t_idx = jnp.arange(t_total, dtype=jnp.int32)[:, None]
+    valid = t_idx < input_lengths.astype(jnp.int32)[None, :]
+    paths = jnp.where(valid, labels, -1)
+    scores = jnp.sum(jnp.where(valid, best, 0.0), axis=0)
+    return ViterbiResult(scores=scores, paths=paths)
