@@ -178,3 +178,71 @@ def test_posteriors_temperature_validation(rng):
         fcc_posteriors(trans, inputs, li, temperature=0.0)
     with pytest.raises(ValueError, match="temperature"):
         fac_posteriors(trans, inputs, targets, li, lo, temperature=-1.0)
+
+
+# ---------------------------------------------------------------------------
+# posterior_decode: the minimum-frame-risk decode (VERDICT r3 stretch
+# item 8 — the log<->tropical interpolated decode surface).
+# ---------------------------------------------------------------------------
+
+
+def test_posterior_decode_is_argmax_of_posteriors(rng):
+    from torch_asg_tpu import posterior_decode
+
+    trans, inputs, targets, li, lo = _case(rng)
+    res = posterior_decode(trans, inputs, li, impl="scan")
+    post = np.asarray(fcc_posteriors(trans, inputs, li))
+    tmask = np.arange(12)[:, None] < np.asarray(li)[None, :]
+    want = post.argmax(axis=2)
+    got = np.asarray(res.paths)
+    np.testing.assert_array_equal(got[tmask], want[tmask])
+    assert (got[~tmask] == -1).all()
+    np.testing.assert_allclose(
+        np.asarray(res.scores),
+        np.where(tmask, post.max(axis=2), 0.0).sum(axis=0),
+        rtol=1e-10,
+    )
+    # scores are expected-correct-frame counts: bounded by the lengths
+    assert (np.asarray(res.scores) <= np.asarray(li) + 1e-9).all()
+    assert (np.asarray(res.scores) > 0).all()
+
+
+def test_posterior_decode_pallas_matches_scan(rng):
+    """The kernel-gradient path (posteriors == d fcc_score / d inputs
+    through the Pallas custom_vjp) decodes identically to the scan
+    oracle."""
+    from torch_asg_tpu import posterior_decode
+
+    trans, inputs, targets, li, lo = _case(rng)
+    inputs32 = inputs.astype(jnp.float32)
+    a = posterior_decode(trans, inputs32, li, impl="scan")
+    b = posterior_decode(trans, inputs32, li, impl="pallas")
+    np.testing.assert_array_equal(np.asarray(a.paths), np.asarray(b.paths))
+    np.testing.assert_allclose(a.scores, b.scores, rtol=1e-4)
+
+
+def test_posterior_decode_tau_to_zero_recovers_viterbi(rng):
+    from torch_asg_tpu import posterior_decode, viterbi_decode
+
+    trans, inputs, targets, li, lo = _case(rng)
+    vit = viterbi_decode(trans, inputs, li)
+    mbr = posterior_decode(trans, inputs, li, temperature=0.05, impl="scan")
+    np.testing.assert_array_equal(np.asarray(mbr.paths), np.asarray(vit.paths))
+    # ... and the concentrated posterior mass approaches one per frame
+    # (0.97-0.98/frame at tau=0.05 on this case; exact only as tau -> 0)
+    np.testing.assert_allclose(
+        np.asarray(mbr.scores), np.asarray(li, np.float64), rtol=0.05
+    )
+    assert (np.asarray(mbr.scores) <= np.asarray(li) + 1e-9).all()
+
+
+def test_posterior_decode_validation(rng):
+    import pytest
+
+    from torch_asg_tpu import posterior_decode
+
+    trans, inputs, targets, li, lo = _case(rng)
+    with pytest.raises(ValueError, match="impl"):
+        posterior_decode(trans, inputs, li, impl="nope")
+    with pytest.raises(ValueError, match="temperature"):
+        posterior_decode(trans, inputs, li, temperature=0.0)

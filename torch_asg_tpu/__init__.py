@@ -8,7 +8,7 @@ and SURVEY.md at the repo root.
 from .asg import ASGLoss, asg_loss, asg_scores
 from .ops.fac import fac_score
 from .ops.fcc import fcc_score
-from .ops.posteriors import fac_posteriors, fcc_posteriors
+from .ops.posteriors import fac_posteriors, fcc_posteriors, posterior_decode
 from .ops.viterbi import (alignment_segments, beam_decode, viterbi_align,
                           viterbi_decode, viterbi_nbest)
 from .ops.streaming import (StreamingAlignState, StreamingBeamState,
@@ -43,6 +43,7 @@ __all__ = [
     "fac_score",
     "fcc_posteriors",
     "fac_posteriors",
+    "posterior_decode",
     "viterbi_decode",
     "viterbi_align",
     "viterbi_nbest",
