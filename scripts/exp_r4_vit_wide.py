@@ -68,7 +68,14 @@ def measure(label, b, t, n, fetch_s):
             f = jax.jit(chain)
             _mark(f"compile {label} {impl}")
             c0 = _time.time()
-            _, _, scores, paths = jax.block_until_ready(f(inputs))
+            try:
+                _, _, scores, paths = jax.block_until_ready(f(inputs))
+            except Exception as e:  # the N=512 kernel VMEM-OOMs at compile
+                msg = str(e).splitlines()[-1][:200]
+                print(f"{label:30s} {impl} FAILED to compile/run: {msg}",
+                      flush=True)
+                out[impl] = None
+                continue
             compile_s = _time.time() - c0
             _mark(f"compiled {label} {impl} in {compile_s:.0f}s")
             if ref is None:
@@ -83,10 +90,11 @@ def measure(label, b, t, n, fetch_s):
             ) * 1e3 / CHAIN_K
             out[impl] = tt
             out[impl + "_compile_s"] = compile_s
-        speedup = out["xla"] / out["pallas"]
-        print(f"{label:30s} xla {out['xla']:8.3f} ms  pallas "
-              f"{out['pallas']:8.3f} ms  speedup {speedup:5.2f}x  "
-              f"(kernel compile {out['pallas_compile_s']:.0f}s)", flush=True)
+            print(f"{label:30s} {impl:6s} {tt:8.3f} ms  "
+                  f"(compile {compile_s:.0f}s)", flush=True)
+        if out.get("xla") and out.get("pallas"):
+            print(f"{label:30s} speedup {out['xla']/out['pallas']:5.2f}x",
+                  flush=True)
         return out
     finally:
         vk.VITERBI_KERNEL_MAX_LABELS = cap

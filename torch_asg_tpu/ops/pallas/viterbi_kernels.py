@@ -42,6 +42,10 @@ from .asg_kernels import ASG_TIME_BLOCK, _const, _asc, _desc, _lane_pad
 # The rotation loop is statically unrolled N_real times per frame (x kb
 # frames per block); past this label count compile time and VMEM for the
 # rotated-transition table stop paying — the chunked XLA path takes over.
+# Measured adjudication (scripts/exp_r4_vit_wide.py, real TPU, B=32
+# T=500): speedup 1.96x at N=128, 0.84x at N=256 (40 s kernel compile),
+# and at N=512 the kernel fails scoped-VMEM allocation outright (42.5 MB
+# rotated table + dup carry vs the 16 MB limit).  128 is the crossover.
 VITERBI_KERNEL_MAX_LABELS = 128
 
 
