@@ -12,6 +12,9 @@ reference has no decoder at all (Viterbi is its unchecked roadmap item);
 this shows the decoding surface built on top of it.
 
 Run:  python examples/nbest_rescore.py [--k 8] [--lm-weight 1.5]
+      [--beam K]   (propose with ``beam_nbest`` instead — one beam-pruned
+                    pass, the wordpiece-scale recipe: exact n-best costs
+                    O(T B N^2 k), beam n-best O(T B N K))
 """
 
 from __future__ import annotations
@@ -25,7 +28,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from torch_asg_tpu import viterbi_nbest
+from torch_asg_tpu import beam_nbest, viterbi_nbest
 from torch_asg_tpu.runtime import collapse_path
 
 NUM_LABELS = 8
@@ -46,6 +49,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--k", type=int, default=8)
     p.add_argument("--lm-weight", type=float, default=1.5)
+    p.add_argument("--beam", type=int, default=0,
+                   help="propose via beam_nbest with this beam width "
+                        "(0 = exact viterbi_nbest)")
     args = p.parse_args(argv)
 
     rng = np.random.default_rng(1)
@@ -55,7 +61,11 @@ def main(argv=None):
     # the "external" LM the acoustic pass knows nothing about
     log_bigram = np.log(rng.dirichlet(np.ones(N), size=N))
 
-    nb = viterbi_nbest(transition, emissions, args.k)
+    if args.beam:
+        nb = beam_nbest(transition, emissions, args.k,
+                        beam_size=max(args.beam, args.k))
+    else:
+        nb = viterbi_nbest(transition, emissions, args.k)
     for b in range(B):
         print(f"utterance {b}:")
         rescored = []

@@ -438,6 +438,26 @@ def test_spread_guard_traced_poisons_nan(rng):
     np.testing.assert_allclose(healthy, want, rtol=1e-4)
 
 
+def test_spread_guard_traced_poisons_grads_too(rng):
+    # The poison is multiplicative so the NaN rides the VJP: a guarded
+    # loss past the bound yields NaN GRADIENTS, not silent zeros (the
+    # matmul tier's 60-nat clamp would otherwise return finite wrong
+    # grads; a select-style poison would return zeros).
+    trans, inputs, targets = _spread_case(rng)
+    g = jax.jit(jax.grad(lambda tr: asg_loss(tr, inputs, targets,
+                                             impl="matmul",
+                                             reduction="sum")))
+    assert np.isnan(np.asarray(g(trans))).all()
+    # Healthy transition through the same compiled fn: finite grads that
+    # match the log-domain oracle's.
+    ok = jnp.asarray(rng.normal(size=trans.shape), jnp.float32)
+    got = np.asarray(g(ok))
+    want = np.asarray(jax.grad(lambda tr: asg_loss(
+        tr, inputs, targets, impl="scan", reduction="sum"))(ok))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
 def test_spread_guard_validate_false_overrides(rng):
     trans, inputs, targets = _spread_case(rng)
     out = asg_loss(trans, inputs, targets, impl="fused", validate=False,

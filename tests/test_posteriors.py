@@ -246,3 +246,42 @@ def test_posterior_decode_validation(rng):
         posterior_decode(trans, inputs, li, impl="nope")
     with pytest.raises(ValueError, match="temperature"):
         posterior_decode(trans, inputs, li, temperature=0.0)
+
+
+def test_posterior_decode_spread_guard(rng):
+    """The pallas tier shares asg_loss's exp-domain spread guard: eager
+    'auto' reroutes to the log-domain scan, explicit 'pallas' raises,
+    and under jit the scores channel comes back NaN (paths are ints and
+    cannot carry the poison)."""
+    import pytest
+
+    from torch_asg_tpu import posterior_decode
+
+    trans, inputs, targets, li, lo = _case(rng)
+    inputs32 = inputs.astype(jnp.float32)
+    wide = jnp.asarray(trans, jnp.float32).at[0, 0].set(150.0)
+
+    # eager 'auto': routed to scan, finite and equal to the oracle
+    got = posterior_decode(wide, inputs32, li)  # impl='auto'
+    want = posterior_decode(wide, inputs32, li, impl="scan")
+    np.testing.assert_array_equal(np.asarray(got.paths),
+                                  np.asarray(want.paths))
+    assert np.isfinite(np.asarray(got.scores)).all()
+
+    # eager explicit 'pallas': loud
+    with pytest.raises(ValueError, match="spread"):
+        posterior_decode(wide, inputs32, li, impl="pallas")
+
+    # traced: scores NaN-poisoned, healthy transition untouched
+    f = jax.jit(lambda tr: posterior_decode(tr, inputs32, li,
+                                            impl="pallas"))
+    assert np.isnan(np.asarray(f(wide).scores)).all()
+    ok = jnp.asarray(trans, jnp.float32)
+    want_ok = posterior_decode(ok, inputs32, li, impl="scan")
+    np.testing.assert_array_equal(np.asarray(f(ok).paths),
+                                  np.asarray(want_ok.paths))
+    assert np.isfinite(np.asarray(f(ok).scores)).all()
+    # validate=False restores the unguarded dispatch
+    res = posterior_decode(wide, inputs32, li, impl="pallas",
+                           validate=False)
+    assert res.paths.shape == inputs32.shape[:2]

@@ -875,3 +875,45 @@ def test_streaming_wfsa_viterbi_partial_and_empty(rng):
     np.testing.assert_allclose(float(got.scores[2]), empty_score, rtol=1e-12)
     assert (np.asarray(got.labels)[:, 2] == -1).all()
     assert (np.asarray(got.states)[:, 2] == -1).all()
+
+
+@pytest.mark.parametrize("splits", [[12], [4, 4, 4], [7, 5]])
+def test_streaming_beam_nbest_matches_oneshot(rng, splits):
+    """streaming_beam_nbest_backtrace == one-shot beam_nbest on the
+    consumed prefix (scores AND paths, every rank)."""
+    from torch_asg_tpu import beam_nbest
+    from torch_asg_tpu.ops.streaming import (
+        streaming_beam_init,
+        streaming_beam_nbest_backtrace,
+        streaming_beam_update,
+    )
+
+    t_total, k, n = 12, 4, 3
+    transition, inputs, _, _ = _problem(rng, t_total)
+    lengths = jnp.asarray([12, 8, 3], jnp.int32)
+
+    st = streaming_beam_init(B, k, dtype=jnp.float64)
+    labs, bps, vals = [], [], []
+    off = 0
+    for t_c in splits:
+        cl = jnp.clip(lengths - off, 0, t_c).astype(jnp.int32)
+        st, (lab, bp, v) = streaming_beam_update(
+            transition, st, inputs[off : off + t_c], chunk_lengths=cl
+        )
+        labs.append(lab)
+        bps.append(bp)
+        vals.append(v)
+        off += t_c
+    got = streaming_beam_nbest_backtrace(
+        st, jnp.concatenate(labs), jnp.concatenate(bps),
+        jnp.concatenate(vals), n,
+    )
+    want = beam_nbest(transition, inputs, n, lengths, beam_size=k)
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-12)
+    np.testing.assert_array_equal(got.paths, want.paths)
+
+    with pytest.raises(ValueError, match="beam_size"):
+        streaming_beam_nbest_backtrace(
+            st, jnp.concatenate(labs), jnp.concatenate(bps),
+            jnp.concatenate(vals), k + 1,
+        )

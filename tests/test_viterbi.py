@@ -617,3 +617,105 @@ def test_beam_decode_neg_inf_transitions(rng):
     narrow = beam_decode(trans, inputs, beam_size=2)
     assert np.isfinite(np.asarray(narrow.scores)).all()
     assert not np.isnan(np.asarray(narrow.scores)).any()
+
+
+# ---------------------------------------------------------------------------
+# beam_nbest: n best final-label hypotheses from one beam pass
+# ---------------------------------------------------------------------------
+
+
+def _brute_force_final_label_nbest(transition, inputs, L, n):
+    """Best path ending in each final label, top-n by score — the exact
+    contract of beam_nbest at beam_size >= N."""
+    T, N = inputs.shape
+    best = {}
+    for path in itertools.product(range(N), repeat=L):
+        s = inputs[0, path[0]]
+        for t in range(1, L):
+            s += transition[path[t], path[t - 1]] + inputs[t, path[t]]
+        fin = path[-1]
+        if fin not in best or s > best[fin][0]:
+            best[fin] = (s, list(path))
+    ranked = sorted(best.values(), key=lambda sp: -sp[0])[:n]
+    return [s for s, _ in ranked], [p for _, p in ranked]
+
+
+def test_beam_nbest_rank0_is_beam_decode(rng):
+    from torch_asg_tpu import beam_decode, beam_nbest
+
+    T, B, N = 8, 3, 7
+    inputs = jnp.asarray(rng.normal(size=(T, B, N)))
+    trans = jnp.asarray(rng.normal(size=(N, N)))
+    lengths = jnp.asarray([8, 5, 2], jnp.int32)
+    for k in (2, 4, 7):
+        nb = beam_nbest(trans, inputs, 2, lengths, beam_size=k)
+        bd = beam_decode(trans, inputs, lengths, beam_size=k)
+        np.testing.assert_allclose(nb.scores[:, 0], bd.scores, rtol=1e-12)
+        np.testing.assert_array_equal(nb.paths[:, :, 0], bd.paths)
+        # descending ranks
+        assert (np.diff(np.asarray(nb.scores), axis=1) <= 1e-12).all()
+
+
+def test_beam_nbest_full_beam_brute_force(rng):
+    """beam_size >= N: exactly the best path per final label, top-n."""
+    from torch_asg_tpu import beam_nbest
+
+    T, N, n = 5, 4, 3
+    r_in = rng.normal(size=(T, 2, N))
+    r_tr = rng.normal(size=(N, N))
+    lengths = np.asarray([5, 3])
+    res = beam_nbest(jnp.asarray(r_tr), jnp.asarray(r_in), n,
+                     jnp.asarray(lengths, jnp.int32), beam_size=N)
+    for b in range(2):
+        L = int(lengths[b])
+        want_s, want_p = _brute_force_final_label_nbest(
+            r_tr, r_in[:, b], L, n)
+        np.testing.assert_allclose(np.asarray(res.scores[b]), want_s,
+                                   rtol=1e-9)
+        for r_ in range(n):
+            got = np.asarray(res.paths[:, b, r_])
+            assert got[:L].tolist() == want_p[r_], (b, r_)
+            assert (got[L:] == -1).all()
+
+
+def test_beam_nbest_paths_rescore_to_scores(rng):
+    """Every rank's path re-scored on the lattice equals its reported
+    score — each hypothesis is a real path."""
+    from torch_asg_tpu import beam_nbest
+
+    T, B, N, n = 9, 3, 8, 4
+    r_in = rng.normal(size=(T, B, N))
+    r_tr = rng.normal(size=(N, N))
+    lengths = np.asarray([9, 6, 1])
+    res = beam_nbest(jnp.asarray(r_tr), jnp.asarray(r_in), n,
+                     jnp.asarray(lengths, jnp.int32), beam_size=4)
+    paths = np.asarray(res.paths)
+    for b in range(B):
+        L = int(lengths[b])
+        for r_ in range(n):
+            p = paths[:L, b, r_]
+            s = r_in[0, b, p[0]] + sum(
+                r_tr[p[t], p[t - 1]] + r_in[t, b, p[t]]
+                for t in range(1, L))
+            np.testing.assert_allclose(s, float(res.scores[b, r_]),
+                                       rtol=1e-9)
+    # distinct final labels per batch element at each element's last frame
+    for b in range(B):
+        L = int(lengths[b])
+        finals = paths[L - 1, b, :]
+        assert len(set(finals.tolist())) == n, finals
+
+
+def test_beam_nbest_validation(rng):
+    import pytest
+
+    from torch_asg_tpu import beam_nbest
+
+    inputs = jnp.asarray(rng.normal(size=(4, 2, 5)))
+    trans = jnp.asarray(rng.normal(size=(5, 5)))
+    with pytest.raises(ValueError, match="beam_size"):
+        beam_nbest(trans, inputs, 5, beam_size=4)
+    with pytest.raises(ValueError, match="num_labels"):
+        beam_nbest(trans, inputs, 6, beam_size=8)
+    with pytest.raises(ValueError, match="n must be"):
+        beam_nbest(trans, inputs, 0)

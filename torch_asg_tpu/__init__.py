@@ -9,15 +9,17 @@ from .asg import ASGLoss, asg_loss, asg_scores
 from .ops.fac import fac_score
 from .ops.fcc import fcc_score
 from .ops.posteriors import fac_posteriors, fcc_posteriors, posterior_decode
-from .ops.viterbi import (alignment_segments, beam_decode, viterbi_align,
-                          viterbi_decode, viterbi_nbest)
+from .ops.viterbi import (alignment_segments, beam_decode, beam_nbest,
+                          viterbi_align, viterbi_decode, viterbi_nbest)
 from .ops.streaming import (StreamingAlignState, StreamingBeamState,
                             StreamingNBestState,
                             StreamingState, streaming_align_backtrace,
                             streaming_align_init, streaming_align_update,
                             StreamingViterbiState, StreamingWFSAState,
                             StreamTargets, streaming_beam_backtrace,
-                            streaming_beam_init, streaming_beam_update,
+                            streaming_beam_init,
+                            streaming_beam_nbest_backtrace,
+                            streaming_beam_update,
                             streaming_init,
                             streaming_nbest_backtrace, streaming_nbest_init,
                             streaming_nbest_update, streaming_scores,
@@ -48,6 +50,7 @@ __all__ = [
     "viterbi_align",
     "viterbi_nbest",
     "beam_decode",
+    "beam_nbest",
     "alignment_segments",
     "WFSA",
     "chain_wfsa",
@@ -69,6 +72,7 @@ __all__ = [
     "streaming_beam_init",
     "streaming_beam_update",
     "streaming_beam_backtrace",
+    "streaming_beam_nbest_backtrace",
     "StreamingWFSAViterbiState",
     "streaming_wfsa_viterbi_init",
     "streaming_wfsa_viterbi_update",

@@ -123,12 +123,19 @@ def _spread_guard(transition, impl: str, temperature: float, validate: bool):
 def _ingraph_spread_poison(out, transition):
     """NaN-poison ``out`` when the finite transition spread exceeds the
     exp-domain bound (traced-transition arm of ``_spread_guard``).  Two
-    (N, N) reductions + a select — noise next to the lattice chains."""
+    (N, N) reductions + a select — noise next to the lattice chains.
+
+    Multiplicative on purpose: ``out * where(bad, nan, 1)`` propagates
+    the NaN through the VJP as well, so GRADIENTS of a guarded loss are
+    NaN, not silently zero (``where(bad, nan, out)`` would select the
+    cotangent away and leave zero grads — the quiet failure mode the
+    guard exists to prevent)."""
     finite = jnp.isfinite(transition)
     hi = jnp.max(jnp.where(finite, transition, -jnp.inf))
     lo = jnp.min(jnp.where(finite, transition, jnp.inf))
     bad = (hi - lo) > _EXP_SPREAD_LIMIT  # all--inf: -inf > limit is False
-    return jnp.where(bad, jnp.asarray(jnp.nan, out.dtype), out)
+    one = jnp.asarray(1.0, out.dtype)
+    return out * jnp.where(bad, jnp.asarray(jnp.nan, out.dtype), one)
 
 
 # Largest padded label/target widths the fused kernel keeps VMEM-resident

@@ -120,6 +120,7 @@ def posterior_decode(
     *,
     temperature: float = 1.0,
     impl: str = "auto",
+    validate: bool = True,
 ):
     """Minimum-frame-risk (MAP-frame) decode at temperature tau.
 
@@ -145,6 +146,12 @@ def posterior_decode(
     kernels instead of the XLA scan.  'scan' uses the lax.scan
     alpha/beta oracle ('matmul' form past 512 labels); 'auto' = 'pallas'
     up to the kernel width budget, 'scan' beyond.
+
+    ``validate`` guards the pallas tier's exp-domain transition-spread
+    precondition exactly as ``asg_loss`` does (the log-domain 'scan'
+    tier needs no guard): eager 'auto' routes to 'scan' past the bound,
+    explicit 'pallas' raises, and under a trace ``scores`` come back NaN
+    (``paths`` are ints and cannot carry the poison — check ``scores``).
     """
     _check_temperature(temperature)
     if impl not in ("auto", "scan", "pallas"):
@@ -153,8 +160,21 @@ def posterior_decode(
     t_total, num_batches, num_labels = inputs.shape
     if input_lengths is None:
         input_lengths = jnp.full((num_batches,), t_total, dtype=jnp.int32)
+    requested = impl
     if impl == "auto":
         impl = "pallas" if num_labels <= _MM_MIN_LABELS else "scan"
+    ingraph_guard = False
+    if impl == "pallas":
+        # Same exp-domain precondition as asg_loss's fused/pallas tiers
+        # (the guard helpers live there): 'auto' reroutes, explicit
+        # 'pallas' raises, traced transitions get the in-graph poison.
+        from ..asg import _spread_guard
+
+        guard_impl = "auto" if requested == "auto" else "pallas"
+        routed, ingraph_guard = _spread_guard(
+            transition, guard_impl, temperature, validate)
+        if routed == "scan":
+            impl = "scan"
     if impl == "pallas":
         if num_labels > _MM_MIN_LABELS:
             raise ValueError(
@@ -185,4 +205,10 @@ def posterior_decode(
     valid = t_idx < input_lengths.astype(jnp.int32)[None, :]
     paths = jnp.where(valid, labels, -1)
     scores = jnp.sum(jnp.where(valid, best, 0.0), axis=0)
+    if ingraph_guard:
+        from ..asg import _ingraph_spread_poison
+
+        # transition is already tau-scaled here, matching the guard's
+        # unscaled bound (see asg._spread_guard).
+        scores = _ingraph_spread_poison(scores, transition)
     return ViterbiResult(scores=scores, paths=paths)

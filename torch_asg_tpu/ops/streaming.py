@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -462,6 +463,15 @@ def streaming_beam_backtrace(
     scores = state.delta[:, 0]  # slot 0 holds the max (descending order)
     num_batches = scores.shape[0]
 
+    paths = _streaming_beam_backtrace_from(
+        labels, backptr, valid, jnp.zeros((num_batches,), jnp.int32)
+    )
+    return ViterbiResult(scores, paths)
+
+
+def _streaming_beam_backtrace_from(labels, backptr, valid, start):
+    """(T, B) path starting the backtrace at beam slot ``start[b]``."""
+
     def bstep(slot, xs):
         lab_t, bp_t, v_t = xs
         emit = jnp.where(v_t, _select_row(lab_t, slot), -1)
@@ -470,11 +480,41 @@ def streaming_beam_backtrace(
         return slot, emit
 
     _, emits = lax.scan(
-        bstep,
-        jnp.zeros((num_batches,), jnp.int32),
-        (labels[::-1], backptr[::-1], valid[::-1]),
+        bstep, start, (labels[::-1], backptr[::-1], valid[::-1])
     )
-    return ViterbiResult(scores, emits[::-1])
+    return emits[::-1]
+
+
+def streaming_beam_nbest_backtrace(
+    state: StreamingBeamState,
+    labels: jnp.ndarray,
+    backptr: jnp.ndarray,
+    valid: jnp.ndarray,
+    n: int,
+) -> NBestResult:
+    """The n best final-label hypotheses of the consumed prefix.
+
+    The streaming form of ``beam_nbest`` (one-shot parity pinned):
+    backtraces each of the n best beam slots of ``state`` through the
+    accumulated per-chunk outputs instead of only slot 0.  Same contract
+    as ``beam_nbest`` — distinct final labels, per-path scores exact,
+    rank 0 == ``streaming_beam_backtrace``; requires n <= beam_size.
+    Returns ``NBestResult`` (scores (B, n) descending, paths (T, B, n)).
+    """
+    k = state.delta.shape[1]
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if n > k:
+        raise ValueError(f"n={n} exceeds the state's beam_size={k}")
+    num_batches = state.delta.shape[0]
+    scores = state.delta[:, :n]
+    paths = jax.vmap(
+        lambda r: _streaming_beam_backtrace_from(
+            labels, backptr, valid,
+            jnp.full((num_batches,), r, jnp.int32),
+        )
+    )(jnp.arange(n, dtype=jnp.int32))  # (n, T, B)
+    return NBestResult(scores, jnp.transpose(paths, (1, 2, 0)))
 
 
 # ---------------------------------------------------------------------------

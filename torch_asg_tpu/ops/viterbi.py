@@ -44,6 +44,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -452,6 +453,22 @@ def beam_decode(
     ``ViterbiResult`` like ``viterbi_decode`` (reference tech-report
     basis ``doc/tech_report.tex:84-88``; the reference ships no decoder).
     """
+    d_end, labs, bps, input_lengths = _beam_forward(
+        transition, inputs, input_lengths, beam_size
+    )
+    scores = d_end[:, 0]  # _topk slot 0 holds the max
+    start = jnp.zeros((inputs.shape[1],), jnp.int32)
+    paths = _beam_backtrace(labs, bps, input_lengths, start)
+    return ViterbiResult(scores, paths)
+
+
+def _beam_forward(transition, inputs, input_lengths, beam_size):
+    """Shared beam-pruned forward pass (beam_decode / beam_nbest).
+
+    Returns ``(d_end, labs, bps, input_lengths)``: d_end (B, K) the
+    final-frame beam scores (descending per batch), labs (T, B, K) the
+    beam label ids AT each frame, bps (T, B, K) slot-at-t -> slot-at-t-1
+    backpointers (frame-0 rows are identity and never followed)."""
     t_total, num_batches, num_labels = inputs.shape
     if beam_size < 1:
         raise ValueError(f"beam_size must be >= 1, got {beam_size}")
@@ -491,20 +508,23 @@ def beam_decode(
     bps = jnp.concatenate(
         [jnp.zeros((1, num_batches, k), jnp.int32), bps], axis=0
     )
+    return d_end, labs, bps, input_lengths
 
-    scores = d_end[:, 0]  # _topk slot 0 holds the max
 
-    # Backtrace over beam slots (slot 0 at each utterance's last frame),
-    # same end masking as the exact decoder; -1 at padding frames.
+def _beam_backtrace(labs, bps, input_lengths, start):
+    """(T, B) path starting from beam slot ``start[b]`` at each
+    utterance's last frame; -1 at padding frames.  Same end masking as
+    the exact decoder."""
+    t_total, num_batches, _ = labs.shape
     pad = jnp.full((num_batches,), -1, jnp.int32)
     lab_last = jnp.where(
-        input_lengths - 1 == t_total - 1, labs[-1][:, 0], pad
+        input_lengths - 1 == t_total - 1, _select_row(labs[-1], start), pad
     )
 
     def bstep(slot_next, xs):
         t, lab_t, bp_t1 = xs  # (B, K) beams at t; bp of frame t+1
         prev_slot = _select_row(bp_t1, slot_next)
-        slot_t = jnp.where(input_lengths - 1 == t, 0, prev_slot)
+        slot_t = jnp.where(input_lengths - 1 == t, start, prev_slot)
         emit = jnp.where(
             t < input_lengths, _select_row(lab_t, slot_t), pad
         )
@@ -513,11 +533,69 @@ def beam_decode(
     ts_b = jnp.arange(t_total - 2, -1, -1)
     _, emits = lax.scan(
         bstep,
-        jnp.zeros((num_batches,), jnp.int32),
+        start,
         (ts_b, labs[-2::-1], bps[:0:-1]),
     )
-    paths = jnp.concatenate([emits[::-1], lab_last[None]], axis=0)
-    return ViterbiResult(scores, paths)
+    return jnp.concatenate([emits[::-1], lab_last[None]], axis=0)
+
+
+def beam_nbest(
+    transition: jnp.ndarray,
+    inputs: jnp.ndarray,
+    n: int,
+    input_lengths: Optional[jnp.ndarray] = None,
+    *,
+    beam_size: int = 16,
+) -> NBestResult:
+    """The n best FINAL-LABEL hypotheses from one beam-pruned pass.
+
+    ``viterbi_nbest`` is exact but pays O(T B N^2 k) — 7.6 s at N=10k on
+    one chip (SWEEP_r3) where ``beam_decode`` runs in 4.9 ms.  This is
+    the production-scale alternative: one beam forward (identical to
+    ``beam_decode``'s, O(T B N K)), then a backtrace from each of the n
+    best final beam slots instead of only slot 0.
+
+    Contract (weaker than ``viterbi_nbest``'s, stated precisely): the n
+    returned paths are the best SURVIVING path ending in each of the n
+    highest-scoring final-frame beam labels — distinct final labels by
+    construction, each path's score exact for that path (re-scoring
+    consistency), scores descending, rank 0 == ``beam_decode`` exactly.
+    It is NOT the global n-best: hypotheses 2..n of the true n-best that
+    share rank 1's final label are not representable (that needs the
+    (label, rank) lattice — use ``viterbi_nbest`` below wordpiece
+    scale).  With ``beam_size >= N`` the result is exactly "for each of
+    the n best final labels, the best path ending there" (pinned by
+    brute force in tests).  For LM rescoring this is the standard
+    lattice-lite n-best list; raise ``beam_size`` to widen diversity.
+
+    Requires ``n <= beam_size`` (and n <= N).  Returns ``NBestResult``
+    (scores (B, n) descending, paths (T, B, n), -1 past each length).
+    """
+    num_labels = inputs.shape[2]
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if n > beam_size:
+        raise ValueError(
+            f"n={n} exceeds beam_size={beam_size}; the beam only carries "
+            f"beam_size final hypotheses"
+        )
+    if n > num_labels:
+        raise ValueError(
+            f"n={n} exceeds num_labels={num_labels}; final labels are "
+            f"distinct by construction so at most N hypotheses exist"
+        )
+    d_end, labs, bps, input_lengths = _beam_forward(
+        transition, inputs, input_lengths, beam_size
+    )
+    num_batches = inputs.shape[1]
+    scores = d_end[:, :n]  # (B, n), descending (slot order)
+    paths = jax.vmap(
+        lambda r: _beam_backtrace(
+            labs, bps, input_lengths,
+            jnp.full((num_batches,), r, jnp.int32),
+        )
+    )(jnp.arange(n, dtype=jnp.int32))  # (n, T, B)
+    return NBestResult(scores, jnp.transpose(paths, (1, 2, 0)))
 
 
 # The alignment kernel's carry is one (B, S_pad) row; unlike the decoder
