@@ -76,7 +76,7 @@ def run(p, devices):
     _mark(f"compile dp P={p}")
     rows["dp"] = _time_steps(f_dp, trans)
 
-    # vp: fixed N=16 sharded over the model axis, loss+∂T (the α-stream
+    # vp: fixed N=32 sharded over the model axis, loss+∂T (the α-stream
     # all_gather program)
     vmesh = make_mesh((p,), ("model",), devices=devices[:p])
     vn, vb, vt = 32, 4, 64
@@ -90,7 +90,7 @@ def run(p, devices):
     _mark(f"compile vp P={p}")
     rows["vp"] = _time_steps(f_vp, v_trans)
 
-    # sp: fixed T=32 sharded over the seq axis (the boundary transfer-
+    # sp: fixed T=128 sharded over the seq axis (the boundary transfer-
     # matrix all_gather program), forward loss
     smesh = make_mesh((p,), ("seq",), devices=devices[:p])
     st_t, sn = 128, 32

@@ -219,47 +219,33 @@ def test_forward_only_lowers_to_storeless_kernel(rng):
     assert _pallas_out_counts(grad_jaxpr) == [4, 5]
 
 
-def test_fused_bts_layout_knob_bit_identical(rng, monkeypatch):
-    """ASG_BTS=1 streams the aligned emissions in the batched-dot-native
-    (B, T, S) layout ((B, kb, S) blocks + in-kernel swapaxes) — values
-    and gradients must be bit-identical to the default (T, B, S) stream
-    (scripts/exp_r3_bts.py probes the on-chip layout-copy saving)."""
-    trans, inputs, targets, li, lo = _case(rng, 24, 5, 6, 7)
+def test_aligned_gather_bts_layout_matches_tbs(rng):
+    """Both aligned-emission gather layouts are live production code —
+    'bts' feeds the fused kernels' (B, kb, S) blocks (the adopted
+    batched-dot-native stream, docs/PERF_R4.md §2), 'tbs' feeds every
+    other caller — and must stay bit-identical transposes of each other,
+    on BOTH the one-hot-matmul path and the wide-vocab true-gather path
+    (-inf emissions included: the sentinel restore must agree)."""
+    from torch_asg_tpu.ops.fac import gather_aligned_emissions
+    from torch_asg_tpu.utils.lengths import label_mask, time_mask
 
-    def vg():
-        def loss(tr_, inp_):
-            full, aligned = asg_scores_fused(tr_, inp_, targets, li, lo)
-            return jnp.sum(full - aligned)
-
-        return jax.value_and_grad(loss, argnums=(0, 1))(trans, inputs)
-
-    monkeypatch.delenv("ASG_BTS", raising=False)
-    v0, (gt0, gi0) = vg()
-    monkeypatch.setenv("ASG_BTS", "1")
-    v1, (gt1, gi1) = vg()
-    assert jnp.array_equal(v0, v1)
-    assert jnp.array_equal(gt0, gt1)
-    assert jnp.array_equal(gi0, gi1)
-
-
-def test_einsum_swap_knob_matches(rng, monkeypatch):
-    """ASG_EINSUM_SWAP=1 flips the one-hot gather/scatter dot
-    orientation (scripts/exp_r3_layout.py probes the layout-copy
-    saving) — fused loss values and gradients must match the default
-    orientation to fp32 roundoff."""
-    trans, inputs, targets, li, lo = _case(rng, 24, 5, 6, 7)
-
-    def vg():
-        def loss(tr_, inp_):
-            full, aligned = asg_scores_fused(tr_, inp_, targets, li, lo)
-            return jnp.sum(full - aligned)
-
-        return jax.value_and_grad(loss, argnums=(0, 1))(trans, inputs)
-
-    monkeypatch.delenv("ASG_EINSUM_SWAP", raising=False)
-    v0, (gt0, gi0) = vg()
-    monkeypatch.setenv("ASG_EINSUM_SWAP", "1")
-    v1, (gt1, gi1) = vg()
-    np.testing.assert_allclose(v0, v1, rtol=1e-6)
-    np.testing.assert_allclose(gt0, gt1, rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(gi0, gi1, rtol=1e-5, atol=1e-6)
+    t_total, num_batches, s_total, n = 9, 3, 4, 6
+    inputs = jnp.asarray(rng.normal(size=(t_total, num_batches, n)))
+    inputs = inputs.at[2, 1, 3].set(-jnp.inf)  # legal semiring zero
+    tgt = jnp.asarray(
+        rng.integers(0, n, size=(num_batches, s_total)), jnp.int32)
+    li = jnp.asarray([9, 6, 2], jnp.int32)
+    lo = jnp.asarray([4, 2, 3], jnp.int32)
+    tmask = time_mask(t_total, li)
+    smask = label_mask(s_total, lo)
+    onehot = (
+        jax.nn.one_hot(tgt, n, dtype=inputs.dtype)
+        * smask[:, :, None].astype(inputs.dtype)
+    )
+    for oh in (onehot, None):  # matmul path and true-gather path
+        tbs = gather_aligned_emissions(inputs, tgt, oh, tmask, smask,
+                                       layout="tbs")
+        bts = gather_aligned_emissions(inputs, tgt, oh, tmask, smask,
+                                       layout="bts")
+        assert bts.shape == (num_batches, t_total, s_total)
+        assert jnp.array_equal(jnp.transpose(bts, (1, 0, 2)), tbs)

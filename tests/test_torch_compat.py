@@ -193,3 +193,45 @@ def test_default_lengths_and_list_inputs(rng):
         jnp.asarray(trans, jnp.float32), jnp.asarray(inputs, jnp.float32),
         jnp.asarray(targets, jnp.int32), reduction="none", impl="scan"))
     np.testing.assert_allclose(got.detach().numpy(), want, rtol=1e-5)
+
+
+def test_bf16_inputs_upcast(rng):
+    """bf16/f16 emission tensors work (Tensor.numpy() rejects them raw);
+    the criterion boundary upcasts like asg_loss does for JAX arrays."""
+    trans, inputs, targets, li, lo = _case(rng)
+    crit = ASGLoss(num_labels=5, reduction="mean", impl="scan")
+    with torch.no_grad():
+        crit.transition.copy_(torch.from_numpy(trans).float())
+    t_in = torch.from_numpy(inputs).bfloat16().requires_grad_(True)
+    loss = crit(t_in, torch.from_numpy(targets),
+                torch.from_numpy(li), torch.from_numpy(lo))
+    loss.backward()
+    assert loss.dtype == torch.bfloat16
+    assert t_in.grad is not None and t_in.grad.dtype == torch.bfloat16
+    want = float(asg_loss(
+        jnp.asarray(trans, jnp.float32),
+        jnp.asarray(np.asarray(torch.from_numpy(inputs).bfloat16().float()),
+                    jnp.float32),
+        jnp.asarray(targets, jnp.int32), jnp.asarray(li, jnp.int32),
+        jnp.asarray(lo, jnp.int32), reduction="mean", impl="scan"))
+    np.testing.assert_allclose(float(loss), want, rtol=1e-2)
+
+
+def test_double_backward_raises_loudly(rng):
+    """The bridge's grads are JAX-computed constants to torch autograd;
+    create_graph=True must fail loudly instead of silently dropping this
+    term's curvature from a mixed objective.  (once_differentiable would
+    NOT catch this: it only errors when the cotangent requires grad,
+    which a loss head's never does — the explicit grad-mode check in
+    backward is the reliable signal.)"""
+    trans, inputs, targets, li, lo = _case(rng)
+    crit = ASGLoss(num_labels=5, reduction="sum", impl="scan")
+    t_in = torch.from_numpy(inputs).float().requires_grad_(True)
+    loss = crit(t_in, torch.from_numpy(targets),
+                torch.from_numpy(li), torch.from_numpy(lo))
+    mixed = loss + (t_in ** 2).sum()
+    with pytest.raises(RuntimeError, match="twice"):
+        torch.autograd.grad(mixed, t_in, create_graph=True)
+    # ... and the ordinary first-order path is untouched
+    (g,) = torch.autograd.grad(loss + (t_in ** 2).sum(), t_in)
+    assert np.isfinite(g.numpy()).all()

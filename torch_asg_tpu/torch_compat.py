@@ -59,7 +59,13 @@ def _to_jax(x, dtype=None):
     if x is None:
         return None
     if isinstance(x, torch.Tensor):
-        x = x.detach().cpu().numpy()
+        x = x.detach().cpu()
+        if x.dtype in (torch.bfloat16, torch.float16):
+            # Tensor.numpy() rejects bf16/f16; asg_loss upcasts these at
+            # the criterion boundary anyway (the TPU norm for encoder
+            # outputs), so the cast is semantics-preserving.
+            x = x.float()
+        x = x.numpy()
     return jnp.asarray(np.asarray(x), dtype)
 
 
@@ -140,6 +146,22 @@ class _ASGLossFn(torch.autograd.Function):
 
     @staticmethod
     def backward(ctx, grad_out):
+        # The grads returned here are constants to torch autograd
+        # (computed in JAX), so create_graph=True through this loss would
+        # SILENTLY drop its curvature from a mixed objective — fail
+        # loudly instead.  The engine enables grad mode during backward
+        # iff create_graph was requested, so this is the reliable signal
+        # (once_differentiable only errors when the cotangent itself
+        # requires grad, which a loss head's never does).
+        if torch.is_grad_enabled():
+            raise RuntimeError(
+                "torch_asg_tpu.torch_compat.ASGLoss is not twice-"
+                "differentiable (create_graph=True): its gradients are "
+                "computed in JAX and enter torch autograd as constants, "
+                "so second-order terms through this loss would be "
+                "silently wrong.  Compute higher-order derivatives on "
+                "the JAX side (jax.hessian / jax.jvp of asg_loss)."
+            )
         if ctx.mode == "scalar":
             gt, gi = ctx.grads
             return (grad_out.to(gt) * gt, grad_out.to(gi) * gi,
