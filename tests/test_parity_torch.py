@@ -18,7 +18,16 @@ from torch_asg_tpu import asg_loss, fac_score, fcc_score
 
 from oracle import asg_oracle, fac_oracle, fcc_oracle
 
-torch.set_default_dtype(torch.float64)
+
+@pytest.fixture(autouse=True)
+def _torch_f64_default():
+    """fp64 torch default for the oracle — scoped and RESTORED: a
+    module-level set_default_dtype leaked into every later test file
+    (caught when the torch_compat bridge saw float64 parameters)."""
+    prev = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    yield
+    torch.set_default_dtype(prev)
 
 
 def _case(seed, T, B, S, N, ragged=True):

@@ -97,9 +97,12 @@ def _compiled(reduction: str, impl: str, temperature: float):
     scalar_vag = jax.jit(jax.value_and_grad(f, argnums=(0, 1)))
 
     def _vjp(trans, inputs, targets, li, lo, ct):
-        _, vjp_fn = jax.vjp(lambda t, i: f(t, i, targets, li, lo),
-                            trans, inputs)
-        return vjp_fn(ct)
+        out, vjp_fn = jax.vjp(lambda t, i: f(t, i, targets, li, lo),
+                              trans, inputs)
+        # the loss dtype is promote(inputs, transition) — e.g. f64 when
+        # torch's default dtype is float64 while the emissions are f32 —
+        # and jax.vjp requires the cotangent to match it exactly
+        return vjp_fn(ct.astype(out.dtype))
 
     vector_vjp = jax.jit(_vjp)
     return primal, scalar_vag, vector_vjp
