@@ -49,7 +49,11 @@ import numpy as np
 B, T, S, N = 64, 1000, 50, 30
 CHAIN_K = 8  # in-graph steps per dispatch
 WARMUP, ITERS = 2, 12  # dispatches (each = CHAIN_K steps)
-REPEATS = 3
+# >=7 repeats with median + spread reported (VERDICT r4 item 1): the r4
+# round showed ~0.05 ms cross-run disagreement on the 0.9 ms step and
+# ~23% on the in-run walk floor, so best-of-3 alone cannot support
+# round-over-round comparisons at the granularity being claimed.
+REPEATS = 7
 # Floors are MEASURED IN-RUN (measure_dot_chain_ns / measure_walk_ns
 # below) so a compiler/runtime update cannot silently stale them; the
 # round-2 hardcoded constants were 78.0 (bare dot) and 270.0 (walk).
@@ -68,15 +72,30 @@ def make_case(dtype=jnp.float32):
     return trans, inputs, targets, li, lo
 
 
-def best_of(fn, x0, feedback, fetch_s, iters=ITERS, repeats=REPEATS):
-    """Best-of-N chained loops, milliseconds per CHAIN (not per step)."""
+def stats_of(fn, x0, feedback, fetch_s, iters=ITERS, repeats=REPEATS,
+             per=1.0):
+    """Repeated chained loops; per-UNIT milliseconds (unit = chain/``per``).
+
+    Returns {"best", "median", "spread"} in ms: round-4 showed ~0.05 ms
+    cross-run disagreement on the headline step and 23% on the in-run
+    walk floor, so single best-of numbers cannot support the
+    round-over-round deltas being claimed — the JSON now carries the
+    distribution (VERDICT r4 item 1).
+    """
+    import statistics
+
     from torch_asg_tpu.utils.profiling import time_fn_chained
 
-    return min(
+    obs = sorted(
         time_fn_chained(fn, feedback, x0, warmup=WARMUP, iters=iters,
-                        fetch_s=fetch_s)
+                        fetch_s=fetch_s) * 1e3 / per
         for _ in range(repeats)
-    ) * 1e3
+    )
+    return {
+        "best": obs[0],
+        "median": statistics.median(obs),
+        "spread": obs[-1] - obs[0],
+    }
 
 
 def measured_bandwidth(fetch_s):
@@ -173,12 +192,14 @@ def measure_dot_chain_ns(fetch_s):
 
     f = jax.jit(chain)
     f(e, x0)
-    t = min(
+    obs = sorted(
         time_fn_chained(lambda x: f(e, x), lambda _, out: out, x0,
                         warmup=2, iters=ITERS, fetch_s=fetch_s)
-        for _ in range(2)
-    ) / CHAIN_K
-    return t / T * 1e9
+        / CHAIN_K / T * 1e9
+        for _ in range(5)
+    )
+    return {"best": obs[0], "median": obs[len(obs) // 2],
+            "spread": obs[-1] - obs[0]}
 
 
 def measure_walk_ns(trans, inputs, targets, li, lo, fetch_s):
@@ -219,12 +240,14 @@ def measure_walk_ns(trans, inputs, targets, li, lo, fetch_s):
 
     f = jax.jit(chain)
     f(e, ip, ap)
-    t = min(
+    obs = sorted(
         time_fn_chained(lambda e_: f(e_, ip, ap), lambda _, out: out, e,
                         warmup=2, iters=ITERS, fetch_s=fetch_s)
-        for _ in range(2)
-    ) / CHAIN_K
-    return t / T * 1e9
+        / CHAIN_K / T * 1e9
+        for _ in range(5)
+    )
+    return {"best": obs[0], "median": obs[len(obs) // 2],
+            "spread": obs[-1] - obs[0]}
 
 
 def fused_hbm_bytes():
@@ -356,9 +379,11 @@ def main():
         return 1
 
     _mark("time scan")
-    t_scan = best_of(scan_step, inputs, feedback, fetch_s) / CHAIN_K
+    s_scan = stats_of(scan_step, inputs, feedback, fetch_s, per=CHAIN_K)
+    t_scan = s_scan["median"]
     _mark("time fused")
-    t_fused = best_of(fused_step, inputs, feedback, fetch_s) / CHAIN_K
+    s_fused = stats_of(fused_step, inputs, feedback, fetch_s, per=CHAIN_K)
+    t_fused = s_fused["median"]
 
     def fwd_chain(inp):
         def body(inp_c, _):
@@ -372,7 +397,8 @@ def main():
     _mark("compile fwd chain")
     f(inputs)
     _mark("time fwd")
-    t_fwd = best_of(f, inputs, feedback, fetch_s) / CHAIN_K
+    s_fwd = stats_of(f, inputs, feedback, fetch_s, per=CHAIN_K)
+    t_fwd = s_fwd["median"]
 
     def vit_chain(inp):
         def body(inp_c, _):
@@ -389,7 +415,8 @@ def main():
     _mark("compile viterbi chain")
     v(inputs)
     _mark("time viterbi")
-    t_vit = best_of(v, inputs, feedback, fetch_s) / CHAIN_K
+    s_vit = stats_of(v, inputs, feedback, fetch_s, per=CHAIN_K)
+    t_vit = s_vit["median"]
 
     # ------------------------------------------------------------------
     # roofline accounting
@@ -399,7 +426,8 @@ def main():
     bytes_total, _ = fused_hbm_bytes()
     t_bw_floor_ms = bytes_total / (bw_gbps * 1e9) * 1e3
     _mark("dot-chain floor (in-run)")
-    dot_ns = measure_dot_chain_ns(fetch_s)
+    s_dot = measure_dot_chain_ns(fetch_s)
+    dot_ns = s_dot["median"]
     t_chain_floor_ms = 2 * T * dot_ns * 1e-6  # fwd + bwd serial walks
     # the floor of the chain AS BUILT (FCC exp-domain dot+rescale
     # interleaved with the FAC 2-way logaddexp — docs/PERF_R2.md §2/§4):
@@ -407,7 +435,8 @@ def main():
     # cheaper measured form (§4 NO-GOs).  This is the BINDING constraint:
     # it exceeds both the HBM floor and the bare-dot floor.
     _mark("walk floor (in-run)")
-    walk_ns = measure_walk_ns(trans, inputs, targets, li, lo, fetch_s)
+    s_walk = measure_walk_ns(trans, inputs, targets, li, lo, fetch_s)
+    walk_ns = s_walk["median"]
     t_walk_ms = 2 * T * walk_ns * 1e-6
     walk_frac = t_walk_ms / t_fused if t_fused > 0 else 0.0
     floors = {
@@ -449,8 +478,9 @@ def main():
         l_big_h, _ = jax.jit(big_chain)(big_trans, big_inputs)
     big_ok = bool(np.allclose(float(l_big), float(l_big_h), rtol=1e-3))
     _mark("time 10k")
-    t_big = best_of(lambda i: bigf(big_trans, i), big_inputs, feedback,
-                    fetch_s, iters=4, repeats=2) / 2
+    s_big = stats_of(lambda i: bigf(big_trans, i), big_inputs, feedback,
+                     fetch_s, iters=4, repeats=3, per=2)
+    t_big = s_big["median"]
 
     # 10k forward-only (score path, no alpha/no grads): the 2x20 GB
     # alpha+beta scan analysis (docs/PERF_R2.md §3.4) implies ~2/3 of the
@@ -467,10 +497,16 @@ def main():
     _mark("compile 10k fwd-only")
     bigfw(big_trans, big_inputs)
     _mark("time 10k fwd-only")
-    t_big_fwd = best_of(lambda i: bigfw(big_trans, i), big_inputs, feedback,
-                        fetch_s, iters=4, repeats=2) / 2
+    s_big_fwd = stats_of(lambda i: bigfw(big_trans, i), big_inputs,
+                         feedback, fetch_s, iters=4, repeats=3, per=2)
+    t_big_fwd = s_big_fwd["median"]
 
     frames = B * T
+
+    def dist(s):
+        # {"best","median","spread"} rounded for the JSON (ms or ns)
+        return {k: round(v, 3) for k, v in s.items()}
+
     frames_per_sec = frames / (t_fused / 1e3)
     print(json.dumps({
         "metric": "ASG fwd+bwd frames/sec/chip (B=64,T=1000,N=30)",
@@ -478,21 +514,31 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(t_scan / t_fused, 3),
         "detail": {
+            # all headline numbers are MEDIANS of REPEATS chained loops;
+            # the *_dist blocks carry best/median/spread so round-over-
+            # round deltas are checkable against the run's own noise
             "fused_ms": round(t_fused, 3),
+            "fused_ms_dist": dist(s_fused),
+            "repeats": REPEATS,
             # BASELINE.json's "audio-seconds/s" phrasing at the standard
             # 10 ms acoustic frame stride (100 frames of audio per second)
             "audio_seconds_per_sec_per_chip": round(frames_per_sec / 100.0, 1),
             "xla_scan_ms": round(t_scan, 3),
+            "xla_scan_ms_dist": dist(s_scan),
             "forward_only_ms": round(t_fwd, 3),
+            "forward_only_ms_dist": dist(s_fwd),
             "viterbi_decode_ms": round(t_vit, 3),
+            "viterbi_decode_ms_dist": dist(s_vit),
             "strict_precision_gate": "pass (HIGHEST vs scan, rtol 2e-3)",
             "roofline": {
                 "hbm_bytes_per_step": bytes_total,
                 "measured_bw_gbps": round(bw_gbps, 1),
                 "bw_floor_ms": round(t_bw_floor_ms, 3),
                 "dot_chain_ns_per_step": round(dot_ns, 1),
+                "dot_chain_ns_dist": dist(s_dot),
                 "serial_chain_floor_ms": round(t_chain_floor_ms, 3),
                 "walk_ns_per_step": round(walk_ns, 1),
+                "walk_ns_dist": dist(s_walk),
                 "implemented_walk_floor_ms": round(t_walk_ms, 3),
                 # all three floors are measured in THIS run; the binding
                 # one is the largest (normally the implemented walk,
@@ -504,14 +550,17 @@ def main():
             "vocab10k_matmul": {
                 "shape": f"T={BIG_T},B={BIG_B},N={BIG_N}",
                 "step_ms": round(t_big, 1),
+                "step_ms_dist": dist(s_big),
                 "forward_only_ms": round(t_big_fwd, 1),
+                "forward_only_ms_dist": dist(s_big_fwd),
                 "strict_precision_loss_match": big_ok,
             },
             "backend": jax.default_backend(),
             "note": (
                 "reference publishes no numbers; vs_baseline = xla_scan /"
                 " fused on the same chip; in-graph chained timing"
-                " (CHAIN_K dependent steps per dispatch, inputs threaded)"
+                " (CHAIN_K dependent steps per dispatch, inputs threaded);"
+                " headline values are medians of 'repeats' chained loops"
             ),
         },
     }))

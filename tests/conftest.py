@@ -27,6 +27,39 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Suite tiers (VERDICT r4 item 9): `pytest -m quick` is the <5-minute
+# correctness core; the full suite (~29 min on this box's single core)
+# adds streaming/distributed/runtime/examples.  Marked per-module here so
+# individual tests never silently fall out of a tier.
+_QUICK_MODULES = {
+    "test_golden",
+    "test_analytic",
+    "test_grads",
+    "test_api",
+    "test_fused",
+}
+
+# Heaviest individual fp64 gradchecks (10-18 s each on this one-core box),
+# demoted so the quick tier stays under 5 minutes.  Each demoted check
+# keeps a same-module sibling in the quick tier (e.g.
+# test_fused_grads_match_oracle[shape0], test_golden_grads), so module
+# coverage is preserved.
+_QUICK_EXCEPT = {
+    "test_fused_grads_numerical",
+    "test_fused_grads_match_oracle[shape1]",
+    "test_fused_forward_only_matches_vjp_path",
+    "test_asg_grad_mean_reduction",
+    "test_asg_grad_randomized[0]",
+    "test_readme_shape_smoke",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        quick = mod in _QUICK_MODULES and item.name not in _QUICK_EXCEPT
+        item.add_marker("quick" if quick else "slow")
+
 
 @pytest.fixture
 def rng():

@@ -497,3 +497,136 @@ def test_spread_guard_temperature_scales_bound(rng):
     assert np.isfinite(np.asarray(out)).all()
     with pytest.raises(ValueError, match="spread"):
         asg_loss(trans, inputs, targets, impl="fused", temperature=0.25)
+
+
+# ---------------------------------------------------------------------------
+# validate='reroute' (VERDICT r4 item 5): under jit a >60-nat finite
+# transition must produce the CORRECT loss and gradients — what the
+# reference's log-domain recursions return
+# (fully_connected_lattice.cpp:22-28) — not NaN.  An in-graph lax.cond
+# dispatches between the exp-domain tier and the log-domain scan tier.
+# ---------------------------------------------------------------------------
+
+
+def test_spread_reroute_traced_correct_loss_and_grads(rng):
+    trans, inputs, targets = _spread_case(rng)
+    vg = jax.jit(jax.value_and_grad(
+        lambda tr: asg_loss(tr, inputs, targets, impl="fused",
+                            validate="reroute", reduction="sum")))
+    loss, grad = vg(trans)
+    want_l, want_g = jax.value_and_grad(
+        lambda tr: asg_loss(tr, inputs, targets, impl="scan",
+                            reduction="sum"))(trans)
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(float(loss), float(want_l), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(want_g),
+                               rtol=1e-4, atol=1e-6)
+    # ... and a healthy transition through the SAME compiled fn takes the
+    # fast branch and still agrees with the oracle.
+    ok = jnp.asarray(rng.normal(size=trans.shape), jnp.float32)
+    loss2, grad2 = vg(ok)
+    want_l2, want_g2 = jax.value_and_grad(
+        lambda tr: asg_loss(tr, inputs, targets, impl="scan",
+                            reduction="sum"))(ok)
+    np.testing.assert_allclose(float(loss2), float(want_l2), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(grad2), np.asarray(want_g2),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_spread_reroute_eager_explicit_does_not_raise(rng):
+    # validate=True raises for an explicit exp-domain tier; 'reroute'
+    # silently falls back to the log-domain tier instead.
+    trans, inputs, targets = _spread_case(rng)
+    got = asg_loss(trans, inputs, targets, impl="fused",
+                   validate="reroute", reduction="none")
+    want = asg_loss(trans, inputs, targets, impl="scan", reduction="none")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_spread_reroute_scores_api(rng):
+    trans, inputs, targets = _spread_case(rng)
+    f = jax.jit(lambda tr: asg_scores(tr, inputs, targets, impl="fused",
+                                      validate="reroute"))
+    full, aligned = f(trans)
+    from torch_asg_tpu.ops.fac import fac_score
+    from torch_asg_tpu.ops.fcc import fcc_score
+    li = jnp.full((inputs.shape[1],), inputs.shape[0], jnp.int32)
+    lo = jnp.full((targets.shape[0],), targets.shape[1], jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(fcc_score(trans, inputs, li)), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(aligned),
+        np.asarray(fac_score(trans, inputs, targets, li, lo)), rtol=1e-5)
+
+
+def test_validate_rejects_unknown_value(rng):
+    trans, inputs, targets = _spread_case(rng, spread=0.0)
+    with pytest.raises(ValueError, match="validate"):
+        asg_loss(trans, inputs, targets, validate="yes")
+
+
+def test_asgloss_module_carries_validate(rng):
+    trans, inputs, targets = _spread_case(rng)
+    crit = ASGLoss.create(5, impl="fused", validate="reroute",
+                          reduction="none")
+    crit = ASGLoss(transition=trans, num_labels=5, impl="fused",
+                   validate="reroute", reduction="none")
+    got = jax.jit(lambda c: c(inputs, targets))(crit)
+    want = asg_loss(trans, inputs, targets, impl="scan", reduction="none")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Emission-side exp-domain precondition (VERDICT r4 item 6): the fused
+# kernels' FCC safety argument (ops/pallas/asg_kernels.py:36-45) claims
+# full connectivity bounds the within-row alpha spread, so entries more
+# than ~80 nats below their row max contribute < e^-80 RELATIVE mass and
+# may underflow to exact zero harmlessly.  These tests drive the two
+# common pathological user patterns — log-prob one-hots floored at -1e4
+# instead of -inf, and a single -200-outlier frame — through every
+# exp-domain tier against the log-domain scan oracle, as fp32 (the TPU
+# compute dtype), checking loss AND gradients.
+# ---------------------------------------------------------------------------
+
+
+def _emission_case(rng, kind, T=8, B=3, S=4, N=6):
+    targets = jnp.asarray(rng.integers(0, N, size=(B, S)), jnp.int32)
+    trans = jnp.asarray(rng.normal(size=(N, N)), jnp.float32)
+    if kind == "floored_onehot":
+        # log-prob one-hots floored at -1e4: each frame has one label at
+        # ~0 and the rest at -1e4 (a >80-nat within-row emission spread
+        # at every frame)
+        hot = rng.integers(0, N, size=(T, B))
+        base = np.full((T, B, N), -1e4, np.float32)
+        base[np.arange(T)[:, None], np.arange(B)[None, :], hot] = \
+            rng.normal(size=(T, B)).astype(np.float32)
+        inputs = jnp.asarray(base)
+    elif kind == "outlier_frame":
+        # one frame with a single -200 outlier entry (fp32 exp-safe in
+        # log domain, far past the exp-domain row spread)
+        base = rng.normal(size=(T, B, N)).astype(np.float32)
+        base[T // 2, :, 0] = -200.0
+        inputs = jnp.asarray(base)
+    else:
+        raise AssertionError(kind)
+    return trans, inputs, targets
+
+
+@pytest.mark.parametrize("impl", ["fused", "pallas", "matmul"])
+@pytest.mark.parametrize("kind", ["floored_onehot", "outlier_frame"])
+def test_emission_spread_parity_vs_scan(rng, impl, kind):
+    trans, inputs, targets = _emission_case(rng, kind)
+
+    def loss(tr, inp, which):
+        return asg_loss(tr, inp, targets, impl=which, reduction="sum")
+
+    want_l, (want_gt, want_gi) = jax.value_and_grad(
+        lambda tr, inp: loss(tr, inp, "scan"), (0, 1))(trans, inputs)
+    got_l, (got_gt, got_gi) = jax.jit(jax.value_and_grad(
+        lambda tr, inp: loss(tr, inp, impl), (0, 1)))(trans, inputs)
+    assert np.isfinite(float(got_l))
+    np.testing.assert_allclose(float(got_l), float(want_l), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_gt), np.asarray(want_gt),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_gi), np.asarray(want_gi),
+                               rtol=1e-4, atol=1e-6)
