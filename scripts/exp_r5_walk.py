@@ -67,10 +67,11 @@ def stats(obs):
             "spread": round(obs[-1] - obs[0], 4)}
 
 
-def timed_chain(f, x0, fetch_s, per):
+def timed_chain(f, x0, fetch_s, per, feedback=None):
     """f: jitted chain fn taking x0; returns ms (or ns) per unit."""
+    feedback = feedback or (lambda _, out: out)
     obs = [
-        time_fn_chained(f, lambda _, out: out, x0, warmup=2, iters=12,
+        time_fn_chained(f, feedback, x0, warmup=2, iters=12,
                         fetch_s=fetch_s) / per
         for _ in range(REPEATS)
     ]
@@ -85,7 +86,9 @@ def timed_chain(f, x0, fetch_s, per):
 def sweep_kb(trans, inputs, targets, li, lo, fetch_s):
     rows = []
     ref = None
-    for kb in (4, 8, 16, 32):
+    # kb must be a multiple of the 8-sublane tile: the (B, kb, S) aligned
+    # stream blocks require their middle dim divisible by 8
+    for kb in (8, 16, 32):
         ak.ASG_TIME_BLOCK = kb
 
         def vg(tr, inp):
@@ -103,7 +106,12 @@ def sweep_kb(trans, inputs, targets, li, lo, fetch_s):
             return loss, inp_o + 0.0 * gi, gt
 
         f = jax.jit(chain)
-        loss, _, gt = f(inputs)
+        try:
+            loss, _, gt = f(inputs)
+        except Exception as e:  # kb=32 bwd kernel exceeds scoped VMEM
+            rows.append({"kb": kb, "error": str(e).split("\n")[0][:160]})
+            print(json.dumps(rows[-1]), flush=True)
+            continue
         loss, gt = float(loss), np.asarray(gt)
         if ref is None:
             ref = (loss, gt)
@@ -111,8 +119,9 @@ def sweep_kb(trans, inputs, targets, li, lo, fetch_s):
             np.allclose(ref[0], loss, rtol=1e-4)
             and np.allclose(ref[1], gt, rtol=1e-3, atol=1e-5)
         )
-        s = timed_chain(lambda x: f(x), inputs, fetch_s, per=CHAIN_K / 1e3)
-        rows.append({"kb": kb, "step_ms": s, "parity_vs_kb4": ok})
+        s = timed_chain(lambda x: f(x), inputs, fetch_s, per=CHAIN_K / 1e3,
+                        feedback=lambda _, out: out[1])
+        rows.append({"kb": kb, "step_ms": s, "parity_vs_kb8": ok})
         print(json.dumps(rows[-1]), flush=True)
     ak.ASG_TIME_BLOCK = 8
     return rows
@@ -159,6 +168,10 @@ def walk_kernel(variant, kb, n_pad, s_pad, b_pad):
         aib_raw = jnp.swapaxes(aib_ref[:], 0, 1)
         aib_blk = ak._lane_pad(aib_raw, s_pad, -1.0)
 
+        if variant in ("fcc_sumnorm", "both_sumroll"):
+            # once per block (amortized over kb steps): column sums of e
+            e1 = jnp.sum(e, axis=1, keepdims=True)  # (n_pad, 1)
+
         pb, qb, offb = pb_c[:], qb_c[:], offb_c[:]
         for j in range(kb):
             j_local = kb - 1 - j
@@ -172,6 +185,22 @@ def walk_kernel(variant, kb, n_pad, s_pad, b_pad):
                 pb = ak._dot(pb, e, dt)
             elif variant == "dot_mul":
                 pb = ak._dot(pb * eib_n, e, dt)
+            elif variant == "fcc_nsel":
+                # dot+mul+max-rescale, NO seed selects / offb: isolates
+                # the rescale-reduce cost from the select cost
+                sb, logmb = ak._rescale(ak._dot(pb * eib_n, e, dt))
+                pb = sb
+            elif variant in ("fcc_sumnorm", "both_sumroll"):
+                # sum-normalization via a PARALLEL MXU matvec:
+                # rowsum((pb*eib) @ e) == (pb*eib) @ (e @ 1), so the
+                # normalizer is a second dot issued alongside the main
+                # one — the serial lane-max reduce disappears
+                v = pb * eib_n
+                sb = ak._dot(v, e, dt)
+                ssum = ak._dot(v, e1, dt)  # (B, 1)
+                s_safe = jnp.where(ssum > 0, ssum, 1.0)
+                pb = jnp.where(seed_b, seed_fcc, sb * (1.0 / s_safe))
+                offb = jnp.where(seed_b, 0.0, offb + cb_n + jnp.log(s_safe))
             elif variant in ("fcc", "both"):
                 sb, logmb = ak._rescale(ak._dot(pb * eib_n, e, dt))
                 pb = jnp.where(seed_b, seed_fcc, sb)
@@ -180,7 +209,7 @@ def walk_kernel(variant, kb, n_pad, s_pad, b_pad):
                 x = qb + ai_n
                 rawb = jnp.logaddexp(selft + x, nextt + ak._rot_left(x, -1.0))
                 qb = jnp.where(seed_b, seed_fac, rawb)
-            elif variant == "fac_roll":
+            elif variant in ("fac_roll", "both_sumroll"):
                 x = qb + ai_n
                 rolled = jnp.concatenate([x[:, 1:], x[:, :1]], axis=-1)
                 rawb = jnp.logaddexp(selft + x, nextt + rolled)
@@ -263,7 +292,8 @@ def decompose_walk(trans, inputs, targets, li, lo, fetch_s):
     ops = (li_col, lo_col, e_stab, self_s, next_s, ip, ap_s, geom)
 
     rows = {}
-    for variant in ("dot", "dot_mul", "fcc", "fac", "fac_roll", "both"):
+    for variant in ("dot", "dot_mul", "fcc_nsel", "fcc", "fcc_sumnorm",
+                    "fac", "fac_roll", "both", "both_sumroll"):
         rows[variant] = run_walk_variant(variant, ops, fetch_s)
         print(json.dumps({"variant": variant, "ns_per_step": rows[variant]}),
               flush=True)
@@ -274,9 +304,11 @@ def main():
     print("backend:", jax.default_backend(), file=sys.stderr)
     trans, inputs, targets, li, lo = make_case()
     fetch_s = fetch_overhead_s()
-    print("== ASG_TIME_BLOCK sweep (production fwd+bwd, ms/step) ==",
-          flush=True)
-    kb_rows = sweep_kb(trans, inputs, targets, li, lo, fetch_s)
+    kb_rows = []
+    if "--walk-only" not in sys.argv:
+        print("== ASG_TIME_BLOCK sweep (production fwd+bwd, ms/step) ==",
+              flush=True)
+        kb_rows = sweep_kb(trans, inputs, targets, li, lo, fetch_s)
     print("== walk decomposition (store-less fwd walk, ns/step) ==",
           flush=True)
     walk_rows = decompose_walk(trans, inputs, targets, li, lo, fetch_s)

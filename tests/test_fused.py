@@ -249,3 +249,30 @@ def test_aligned_gather_bts_layout_matches_tbs(rng):
                                        layout="bts")
         assert bts.shape == (num_batches, t_total, s_total)
         assert jnp.array_equal(jnp.transpose(bts, (1, 0, 2)), tbs)
+
+
+def test_fused_no_pad_lane_arm(rng):
+    """S == s_pad == 128 leaves NO pad lane, so the kernels must take the
+    iota-select rotation arm (wrap-rolls would wrap real state 0 into
+    state S-1).  Pins the static `wrap` dispatch in _run_fwd/_run_bwd."""
+    t_total, num_batches, s_total, n = 130, 2, 128, 5
+    inputs = jnp.asarray(rng.normal(size=(t_total, num_batches, n)),
+                         jnp.float32)
+    trans = jnp.asarray(rng.normal(size=(n, n)) * 0.5, jnp.float32)
+    tgt = jnp.asarray(rng.integers(0, n, size=(num_batches, s_total)),
+                      jnp.int32)
+    li = jnp.asarray([130, 129], jnp.int32)
+    lo = jnp.asarray([128, 100], jnp.int32)
+    want, (wgt, wgi) = jax.value_and_grad(
+        lambda tr, i: asg_loss(tr, i, tgt, li, lo, reduction="sum",
+                               impl="scan"), (0, 1))(trans, inputs)
+    got, (ggt, ggi) = jax.value_and_grad(
+        lambda tr, i: asg_loss(tr, i, tgt, li, lo, reduction="sum",
+                               impl="fused"), (0, 1))(trans, inputs)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    # fp32 here (T=130 accumulation): absolute tolerance covers the
+    # ~1e-5 rounding drift on near-zero gradient entries
+    np.testing.assert_allclose(np.asarray(ggt), np.asarray(wgt),
+                               rtol=1e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(ggi), np.asarray(wgi),
+                               rtol=1e-4, atol=5e-5)

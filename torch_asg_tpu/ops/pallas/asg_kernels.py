@@ -115,6 +115,23 @@ def _rot_left(x, fill=0.0):
     return jnp.where(col == x.shape[-1] - 1, fill, y)
 
 
+# Wrap-rolls: plain lane rotations WITHOUT the boundary iota+select.
+# Bit-identical to _rot_left/_rot_right(·, NEG_INF) on the FAC chains
+# whenever the wrapped-in lane is already NEG_INF by construction — the
+# round-5 walk decomposition measured the iota+select at ~15-25 ns per
+# serial step (scripts/exp_r5_walk.py, docs/PERF_R5.md).  _prepare pins
+# next_p's last pad lane to NEG_INF exactly so these apply; used only
+# when a pad lane exists (s_pad > s_total).
+
+
+def _wrap_left(x):
+    return jnp.concatenate([x[..., 1:], x[..., :1]], axis=-1)
+
+
+def _wrap_right(x):
+    return jnp.concatenate([x[..., -1:], x[..., :-1]], axis=-1)
+
+
 def _rescale(row):
     """Renormalize an exp-domain row to max 1; returns (row', log max)."""
     m = jnp.max(row, axis=1, keepdims=True)
@@ -157,7 +174,7 @@ def _fwd_kernel(
     li_ref, lo_ref, e_ref, self_ref, next_ref, ib_ref, aib_ref,
     # outputs (store variant): pb_ref, qb_ref, then sful/sfac
     *refs,
-    kb, num_labels, store,
+    kb, num_labels, store, wrap,
 ):
     if store:
         pb_ref, qb_ref, sful_ref, sfac_ref = refs[:4]
@@ -223,7 +240,10 @@ def _fwd_kernel(
 
         # ---- FAC beta at t_b (log domain); consumes aligned I~[t_b + 1]
         x = qb + ai_n
-        rawb = jnp.logaddexp(selft + x, nextt + _rot_left(x, NEG_INF))
+        # wrap: nextt's last pad lane is NEG_INF (set in _prepare), so the
+        # plain rotation is bit-identical and skips the boundary select
+        rolled = _wrap_left(x) if wrap else _rot_left(x, NEG_INF)
+        rawb = jnp.logaddexp(selft + x, nextt + rolled)
         qb = jnp.where(seed_b, seed_fac, rawb)
 
         if store:
@@ -258,7 +278,7 @@ def _bwd_kernel(
     ia_ref, aia_ref, pb_ref, qb_ref,
     gi_ref, gali_ref, gt_ref, gself_ref, gnext_ref,
     pa_c, qa_c, acc_t, acc_self, acc_diag,
-    *, kb, num_labels,
+    *, kb, num_labels, wrap,
 ):
     k = pl.program_id(0)
     nb = pl.num_programs(0)
@@ -308,8 +328,12 @@ def _bwd_kernel(
         pa, _ = _rescale(s * eia_blk[j])
         pa_rows.append(pa)
         # FAC alpha (log domain); t = 0 seeds at s = 0 only
-        # (force_aligned_lattice.cpp:294).
-        sq = jnp.logaddexp(qa + selft, _rot_right(qa + nextt, NEG_INF))
+        # (force_aligned_lattice.cpp:294).  wrap: lane 0 wraps in
+        # qa[-1] + nextt[-1] = -inf (nextt's last pad lane is NEG_INF).
+        y = qa + nextt
+        sq = jnp.logaddexp(
+            qa + selft, _wrap_right(y) if wrap else _rot_right(y, NEG_INF)
+        )
         raw = aia_blk[j] + sq
         if j == 0:
             raw = jnp.where(
@@ -363,7 +387,10 @@ def _bwd_kernel(
     #   diag = exp(alpha_prev[s-1] + next[s-1] + I~ - alpha)
     sub = jnp.where(jnp.isfinite(qa_blk), aia_blk - qa_blk, NEG_INF)
     hori = jnp.exp(qa_prev + selft[None] + sub)
-    diag = jnp.exp(_rot_right(qa_prev + nextt[None], NEG_INF) + sub)
+    yp = qa_prev + nextt[None]
+    diag = jnp.exp(
+        (_wrap_right(yp) if wrap else _rot_right(yp, NEG_INF)) + sub
+    )
     t_idx = t0 + jax.lax.broadcasted_iota(jnp.int32, (kb_, 1, 1), 0)
     w = (t_idx > 0).astype(dt)  # t = 0 carries no edge mass
     lane_s3 = jax.lax.broadcasted_iota(jnp.int32, qa_blk.shape, 2)
@@ -418,7 +445,8 @@ def _run_fwd(li_col, lo_col, e, self_p, next_p, ip, ap, geom, store):
     nb = t_pad // kb
     dt = e.dtype
     kern = functools.partial(
-        _fwd_kernel, kb=kb, num_labels=num_labels, store=store
+        _fwd_kernel, kb=kb, num_labels=num_labels, store=store,
+        wrap=s_pad > s_raw,
     )
     score_shape = jax.ShapeDtypeStruct((b_pad, 1), dt)
     out_specs = [_const((b_pad, 1)), _const((b_pad, 1))]
@@ -472,7 +500,9 @@ def _run_bwd(
     kb = ASG_TIME_BLOCK
     nb = t_pad // kb
     dt = e.dtype
-    kern = functools.partial(_bwd_kernel, kb=kb, num_labels=num_labels)
+    kern = functools.partial(
+        _bwd_kernel, kb=kb, num_labels=num_labels, wrap=s_pad > s_raw
+    )
     return pl.pallas_call(
         kern,
         grid=(nb,),
@@ -548,6 +578,13 @@ def _prepare(transition, inputs, targets, input_lengths, target_lengths):
     e_t = e.T  # alpha contracts source labels
     self_p = pad_axis(pad_axis(lat.self_trans, s_pad, 1, 0.0), b_pad, 0, 0.0)
     next_p = pad_axis(pad_axis(lat.next_trans, s_pad, 1, 0.0), b_pad, 0, 0.0)
+    if s_pad > s_total:
+        # pin the LAST pad lane to the semiring zero so the kernels' FAC
+        # rotations can use plain wrap-rolls (no boundary select): the
+        # wrapped-in lane then lands as -inf exactly like the old fill.
+        # Safe globally — every consumer adds next_p to an already--inf
+        # pad lane or drops pad lanes before use.
+        next_p = next_p.at[:, -1].set(NEG_INF)
     li_col = pad_axis(input_lengths.astype(jnp.int32), b_pad, 0, 1)[:, None]
     lo_col = pad_axis(target_lengths.astype(jnp.int32), b_pad, 0, 1)[:, None]
     dims = (t_total, num_batches, num_labels, s_total, b_pad, n_pad, s_pad)
