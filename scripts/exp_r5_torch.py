@@ -139,13 +139,22 @@ def main():
 
     h2d_ms = wall_per_call(h2d, iters=10)
 
-    gi_dev = jax.block_until_ready(
-        jax.jit(lambda tr, inp: vg(tr, inp)[1][1])(trans_j, inputs_j))
+    # d2h must fetch FRESH device buffers: jax arrays cache their host
+    # copy, so re-fetching one array measures the cache, not the wire.
+    gi_fn = jax.jit(lambda tr, inp: vg(tr, inp)[1][1])
 
-    def d2h():
-        np.asarray(gi_dev)
+    def d2h_batch():
+        arrs = [
+            jax.block_until_ready(gi_fn(trans_j, inputs_j + float(i)))
+            for i in range(4)
+        ]
+        t0 = time.perf_counter()
+        for a in arrs:
+            np.asarray(a)
+        return (time.perf_counter() - t0) / len(arrs) * 1e3
 
-    d2h_ms = wall_per_call(d2h, iters=10)
+    d2h_batch()  # warm the jit
+    d2h_ms = stats([d2h_batch() for _ in range(3)])
 
     row = {
         "exp": "torch_bridge_r5",
