@@ -192,9 +192,13 @@ def measure_dot_chain_ns(fetch_s):
 
     f = jax.jit(chain)
     f(e, x0)
+    # The bare chain is only ~30 us per dispatch; at 12 iters the loop
+    # (~3 ms) drowns in the ~26 ms fetch jitter and the subtraction can
+    # even go negative (r5 observed a 0.0 'best').  48 iters puts the
+    # loop above the noise.
     obs = sorted(
         time_fn_chained(lambda x: f(e, x), lambda _, out: out, x0,
-                        warmup=2, iters=ITERS, fetch_s=fetch_s)
+                        warmup=2, iters=4 * ITERS, fetch_s=fetch_s)
         / CHAIN_K / T * 1e9
         for _ in range(5)
     )
@@ -240,9 +244,11 @@ def measure_walk_ns(trans, inputs, targets, li, lo, fetch_s):
 
     f = jax.jit(chain)
     f(e, ip, ap)
+    # 24 iters: each dispatch is ~1.7 ms of walk, so the loop must sit
+    # well above the ~26 ms fetch jitter (same rationale as the dot chain)
     obs = sorted(
         time_fn_chained(lambda e_: f(e_, ip, ap), lambda _, out: out, e,
-                        warmup=2, iters=ITERS, fetch_s=fetch_s)
+                        warmup=2, iters=2 * ITERS, fetch_s=fetch_s)
         / CHAIN_K / T * 1e9
         for _ in range(5)
     )
