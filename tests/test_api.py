@@ -567,8 +567,11 @@ def test_validate_rejects_unknown_value(rng):
 
 def test_asgloss_module_carries_validate(rng):
     trans, inputs, targets = _spread_case(rng)
+    # create() must propagate the knob ...
     crit = ASGLoss.create(5, impl="fused", validate="reroute",
                           reduction="none")
+    assert crit.validate == "reroute"
+    # ... and a module carrying it reroutes the 150-nat case under jit
     crit = ASGLoss(transition=trans, num_labels=5, impl="fused",
                    validate="reroute", reduction="none")
     got = jax.jit(lambda c: c(inputs, targets))(crit)
@@ -630,3 +633,28 @@ def test_emission_spread_parity_vs_scan(rng, impl, kind):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got_gi), np.asarray(want_gi),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_spread_reroute_refuses_past_width_budget(rng):
+    # The scan fallback materializes (B, N, N) per step; reroute must
+    # refuse loudly past the width budget instead of compiling a branch
+    # that OOMs HBM at wordpiece scale (review-pass fix).
+    T, B, S, N = 4, 2, 3, 600  # N > _FUSED_MAX_WIDTH=512 -> matmul tier
+    inputs = jnp.asarray(rng.normal(size=(T, B, N)), jnp.float32)
+    targets = jnp.asarray(rng.integers(0, N, size=(B, S)), jnp.int32)
+    trans = jnp.asarray(rng.normal(size=(N, N)), jnp.float32)
+    with pytest.raises(ValueError, match="reroute"):
+        jax.jit(lambda tr: asg_loss(tr, inputs, targets,
+                                    validate="reroute"))(trans)
+
+
+def test_validate_falsy_disables_guard(rng):
+    # validate=0 / numpy False must disable the guard like False
+    # (review-pass fix: the membership check ran before the falsy check).
+    trans, inputs, targets = _spread_case(rng)
+    out = asg_loss(trans, inputs, targets, impl="fused", validate=0,
+                   reduction="none")
+    assert out.shape == (2,)
+    out = asg_loss(trans, inputs, targets, impl="fused",
+                   validate=np.bool_(False), reduction="none")
+    assert out.shape == (2,)

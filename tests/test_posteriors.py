@@ -285,3 +285,32 @@ def test_posterior_decode_spread_guard(rng):
     res = posterior_decode(wide, inputs32, li, impl="pallas",
                            validate=False)
     assert res.paths.shape == inputs32.shape[:2]
+
+
+def test_posterior_decode_reroute_correct_under_jit(rng):
+    """validate='reroute' under jit must return the CORRECT decode for a
+    >60-nat transition (in-graph scan fallback), not NaN scores —
+    review-pass fix: the guard's 'reroute' value was being treated as a
+    truthy poison flag."""
+    from torch_asg_tpu import posterior_decode
+
+    trans, inputs, targets, li, lo = _case(rng)
+    inputs32 = inputs.astype(jnp.float32)
+    wide = jnp.asarray(trans, jnp.float32).at[0, 0].set(150.0)
+
+    f = jax.jit(lambda tr: posterior_decode(tr, inputs32, li,
+                                            impl="pallas",
+                                            validate="reroute"))
+    got = f(wide)
+    want = posterior_decode(wide, inputs32, li, impl="scan")
+    assert np.isfinite(np.asarray(got.scores)).all()
+    np.testing.assert_array_equal(np.asarray(got.paths),
+                                  np.asarray(want.paths))
+    np.testing.assert_allclose(np.asarray(got.scores),
+                               np.asarray(want.scores), rtol=1e-4)
+    # healthy transition through the SAME compiled fn: fast branch
+    ok = jnp.asarray(trans, jnp.float32)
+    want_ok = posterior_decode(ok, inputs32, li, impl="scan")
+    got_ok = f(ok)
+    np.testing.assert_array_equal(np.asarray(got_ok.paths),
+                                  np.asarray(want_ok.paths))

@@ -104,11 +104,15 @@ def _spread_guard(transition, impl: str, temperature: float, validate):
     ``validate=False`` is the explicit override that restores the
     unguarded fast path.
     """
-    if validate not in (True, False, "reroute"):
+    if not validate:
+        # any falsy value disables the guard (backward compatible with
+        # validate=0 / numpy False from config systems)
+        return impl, None
+    if validate not in (True, "reroute"):
         raise ValueError(
             f"validate must be True, False, or 'reroute'; got {validate!r}"
         )
-    if validate is False or impl == "scan":
+    if impl == "scan":
         return impl, None
     # Temperature divides the transition before the chains run, so the
     # effective bound on the RAW spread scales with tau.
@@ -165,10 +169,13 @@ def _with_reroute(fast_fn, safe_fn):
     dispatches in-graph to the log-domain scan tier (``lax.cond``): the
     jitted loss then matches the reference's log-domain recursions for
     ANY finite magnitudes (VERDICT r4 item 5) instead of NaN-poisoning.
-    Both branches are compiled; at runtime only the taken one executes
-    (off the healthy path the cost is the two (N, N) spread reductions).
-    Differentiates cleanly — ``lax.cond`` VJPs branch-wise, and both
-    branches are custom_vjp score functions with identical signatures."""
+    Both branches are compiled; at runtime only the taken one executes.
+    Measured cost at the bench shape: +1.8 s compile and +45% per step
+    on the HEALTHY path (grad-through-cond carries branch residual
+    machinery and blocks fusion — docs/PERF_R5.md §8), which is why the
+    free NaN-poison guard stays the default.  Differentiates cleanly —
+    ``lax.cond`` VJPs branch-wise, and both branches are custom_vjp
+    score functions with identical signatures."""
 
     def call(transition, inputs, targets, input_lengths, target_lengths):
         return jax.lax.cond(
@@ -183,6 +190,33 @@ def _with_reroute(fast_fn, safe_fn):
         )
 
     return call
+
+
+def _guarded_scores_fn(impl: str, guard, num_labels: int, s_total: int):
+    """Resolve the scores_fn for ``impl``, wrapping it with the in-graph
+    scan fallback when the guard asks for 'reroute' (shared by asg_loss
+    and asg_scores)."""
+    scores_fn = _resolve_impl(impl, num_labels, s_total)
+    if guard != "reroute":
+        return scores_fn
+    if max(num_labels, s_total) > _FUSED_MAX_WIDTH:
+        # The only any-spread-correct fallback is the log-domain scan
+        # tier, which materializes a (B, N, N) tensor per step — the
+        # exact cost the 'matmul' tier exists to avoid (e.g. ~26 GB per
+        # step at B=64, N=10k).  Refuse loudly instead of compiling a
+        # branch that OOMs HBM.
+        raise ValueError(
+            f"validate='reroute' needs the log-domain scan fallback, "
+            f"which materializes (B, N, N) per step and is capped at "
+            f"max(num_labels, s_total) <= {_FUSED_MAX_WIDTH}; got "
+            f"num_labels={num_labels}, s_total={s_total}.  Use "
+            f"validate=True (NaN-poison guard), impl='scan' outright, "
+            f"or keep the transition spread inside the exp-domain bound "
+            f"(parallel.asg_loss_vp for sharded large vocabularies)."
+        )
+    return _with_reroute(
+        scores_fn, _resolve_impl("scan", num_labels, s_total)
+    )
 
 
 # Largest padded label/target widths the fused kernel keeps VMEM-resident
@@ -334,11 +368,9 @@ def asg_loss(
     if temperature <= 0.0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
     impl, guard = _spread_guard(transition, impl, temperature, validate)
-    scores_fn = _resolve_impl(impl, inputs.shape[2], targets.shape[1])
-    if guard == "reroute" and impl != "scan":
-        scores_fn = _with_reroute(
-            scores_fn, _resolve_impl("scan", inputs.shape[2], targets.shape[1])
-        )
+    scores_fn = _guarded_scores_fn(
+        impl, guard, inputs.shape[2], targets.shape[1]
+    )
     if temperature != 1.0:
         # Note: the aligned-lattice gather treats finite emissions below
         # -5e29 as -inf (ops/fac.py sentinel); after the 1/tau scaling the
@@ -396,11 +428,9 @@ def asg_scores(
     if temperature <= 0.0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
     impl, guard = _spread_guard(transition, impl, temperature, validate)
-    scores_fn = _resolve_impl(impl, inputs.shape[2], targets.shape[1])
-    if guard == "reroute" and impl != "scan":
-        scores_fn = _with_reroute(
-            scores_fn, _resolve_impl("scan", inputs.shape[2], targets.shape[1])
-        )
+    scores_fn = _guarded_scores_fn(
+        impl, guard, inputs.shape[2], targets.shape[1]
+    )
     if temperature != 1.0:
         inv = 1.0 / temperature
         transition = transition * inv

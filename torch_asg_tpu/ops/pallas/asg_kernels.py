@@ -101,27 +101,14 @@ def _exp_rows(x):
     return jnp.exp(x - c), c
 
 
-def _rot_right(x, fill=0.0):
-    """Lane s takes lane s-1 along the last axis; lane 0 takes ``fill``."""
-    y = jnp.concatenate([x[..., -1:], x[..., :-1]], axis=-1)
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    return jnp.where(col == 0, fill, y)
-
-
-def _rot_left(x, fill=0.0):
-    """Lane s takes lane s+1 along the last axis; last lane takes ``fill``."""
-    y = jnp.concatenate([x[..., 1:], x[..., :1]], axis=-1)
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    return jnp.where(col == x.shape[-1] - 1, fill, y)
-
-
-# Wrap-rolls: plain lane rotations WITHOUT the boundary iota+select.
-# Bit-identical to _rot_left/_rot_right(·, NEG_INF) on the FAC chains
-# whenever the wrapped-in lane is already NEG_INF by construction — the
-# round-5 walk decomposition measured the iota+select at ~15-25 ns per
-# serial step (scripts/exp_r5_walk.py, docs/PERF_R5.md).  _prepare pins
-# next_p's last pad lane to NEG_INF exactly so these apply; used only
-# when a pad lane exists (s_pad > s_total).
+# Wrap-rolls: plain lane rotations WITHOUT a boundary fix.  The guarded
+# rotations below are these plus one iota+select on the boundary lane —
+# which the round-5 walk decomposition measured at ~15-25 ns per serial
+# step (scripts/exp_r5_walk.py, docs/PERF_R5.md §3).  The kernels use
+# the bare wraps directly whenever the wrapped-in lane is already
+# NEG_INF by construction (_prepare pins next_p's last pad lane to
+# NEG_INF exactly so this holds; requires a pad lane, s_pad > s_total),
+# which is bit-identical by the shared structure here.
 
 
 def _wrap_left(x):
@@ -130,6 +117,18 @@ def _wrap_left(x):
 
 def _wrap_right(x):
     return jnp.concatenate([x[..., -1:], x[..., :-1]], axis=-1)
+
+
+def _rot_right(x, fill=0.0):
+    """Lane s takes lane s-1 along the last axis; lane 0 takes ``fill``."""
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where(col == 0, fill, _wrap_right(x))
+
+
+def _rot_left(x, fill=0.0):
+    """Lane s takes lane s+1 along the last axis; last lane takes ``fill``."""
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where(col == x.shape[-1] - 1, fill, _wrap_left(x))
 
 
 def _rescale(row):

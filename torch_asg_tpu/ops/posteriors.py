@@ -150,8 +150,10 @@ def posterior_decode(
     ``validate`` guards the pallas tier's exp-domain transition-spread
     precondition exactly as ``asg_loss`` does (the log-domain 'scan'
     tier needs no guard): eager 'auto' routes to 'scan' past the bound,
-    explicit 'pallas' raises, and under a trace ``scores`` come back NaN
-    (``paths`` are ints and cannot carry the poison — check ``scores``).
+    explicit 'pallas' raises; under a trace, ``validate=True`` makes
+    ``scores`` come back NaN (``paths`` are ints and cannot carry the
+    poison — check ``scores``), while ``validate='reroute'`` dispatches
+    in-graph to the scan tier and returns the correct decode.
     """
     _check_temperature(temperature)
     if impl not in ("auto", "scan", "pallas"):
@@ -163,15 +165,16 @@ def posterior_decode(
     requested = impl
     if impl == "auto":
         impl = "pallas" if num_labels <= _MM_MIN_LABELS else "scan"
-    ingraph_guard = False
+    guard = None
     if impl == "pallas":
         # Same exp-domain precondition as asg_loss's fused/pallas tiers
         # (the guard helpers live there): 'auto' reroutes, explicit
-        # 'pallas' raises, traced transitions get the in-graph poison.
+        # 'pallas' raises, traced transitions get the in-graph poison
+        # (validate=True) or the in-graph scan fallback ('reroute').
         from ..asg import _spread_guard
 
         guard_impl = "auto" if requested == "auto" else "pallas"
-        routed, ingraph_guard = _spread_guard(
+        routed, guard = _spread_guard(
             transition, guard_impl, temperature, validate)
         if routed == "scan":
             impl = "scan"
@@ -190,9 +193,25 @@ def posterior_decode(
         from .pallas import fcc_score_pallas
         import jax
 
-        post = jax.grad(
-            lambda i: fcc_score_pallas(transition, i, input_lengths).sum()
-        )(inputs)
+        def _pallas_post(tr, inp):
+            return jax.grad(
+                lambda i: fcc_score_pallas(tr, i, input_lengths).sum()
+            )(inp)
+
+        if guard == "reroute":
+            from ..asg import _spread_bad
+
+            # operands are already tau-scaled, so the scan branch runs
+            # at temperature 1 on them — same lattice both ways
+            def _scan_post(tr, inp):
+                return fcc_posteriors(tr, inp, input_lengths)
+
+            post = jax.lax.cond(
+                _spread_bad(transition), _scan_post, _pallas_post,
+                transition, inputs,
+            )
+        else:
+            post = _pallas_post(transition, inputs)
     else:
         post = fcc_posteriors(
             transition, inputs, input_lengths, temperature=temperature
@@ -205,7 +224,7 @@ def posterior_decode(
     valid = t_idx < input_lengths.astype(jnp.int32)[None, :]
     paths = jnp.where(valid, labels, -1)
     scores = jnp.sum(jnp.where(valid, best, 0.0), axis=0)
-    if ingraph_guard:
+    if guard == "poison":
         from ..asg import _ingraph_spread_poison
 
         # transition is already tau-scaled here, matching the guard's

@@ -229,9 +229,13 @@ class ASGLoss(torch.nn.Module):
                 target_lengths=None):
         impl = self.impl
         if self.validate:
+            # pass the user's value through: validate='reroute' silently
+            # falls back to the log-domain tier where validate=True would
+            # raise for an explicit exp-domain impl (the transition is
+            # always concrete here, so the guard is host-side either way)
             impl, _ = _spread_guard(
                 self.transition.detach().cpu().numpy(), impl,
-                self.temperature, True,
+                self.temperature, self.validate,
             )
         config = (self.reduction, impl, self.temperature)
         if self.forward_only or not self.training:
