@@ -235,3 +235,45 @@ def test_double_backward_raises_loudly(rng):
     # ... and the ordinary first-order path is untouched
     (g,) = torch.autograd.grad(loss + (t_in ** 2).sum(), t_in)
     assert np.isfinite(g.numpy()).all()
+
+
+def test_load_reference_transition_roundtrip(rng, tmp_path):
+    """Migration hand-off: a reference-format checkpoint (the single
+    'transition' nn.Parameter key, torch_asg/asg.py:105) loads via the
+    helper (dict and file forms, incl. nested prefix) AND drops straight
+    into torch_compat.ASGLoss.load_state_dict."""
+    from torch_asg_tpu.torch_compat import load_reference_transition
+
+    n = 6
+    ref_t = torch.from_numpy(rng.normal(size=(n, n)).astype(np.float32))
+    sd = {"transition": ref_t}
+
+    got = load_reference_transition(sd)
+    np.testing.assert_array_equal(got, ref_t.numpy())
+
+    p = tmp_path / "ref_ckpt.pt"
+    torch.save(sd, p)
+    np.testing.assert_array_equal(load_reference_transition(p), ref_t.numpy())
+
+    nested = {"criterion.transition": ref_t, "encoder.w": torch.zeros(2)}
+    np.testing.assert_array_equal(
+        load_reference_transition(nested, prefix="criterion."), ref_t.numpy())
+    with pytest.raises(KeyError, match="transition"):
+        load_reference_transition(nested)
+
+    # drop-in load_state_dict on the torch front-end (same param name)
+    crit = ASGLoss(num_labels=n, reduction="none", impl="scan")
+    crit.load_state_dict(sd)
+    np.testing.assert_array_equal(
+        crit.transition.detach().numpy(), ref_t.numpy())
+    # and the JAX value matches what asg_loss would consume
+    trans_j = jnp.asarray(load_reference_transition(sd))
+    r2 = np.random.default_rng(3)
+    inputs = r2.normal(size=(7, 2, n)).astype(np.float32)
+    targets = r2.integers(0, n, size=(2, 3))
+    want = asg_loss(trans_j, jnp.asarray(inputs),
+                    jnp.asarray(targets, jnp.int32), reduction="none",
+                    impl="scan")
+    crit_out = crit(torch.from_numpy(inputs), torch.from_numpy(targets))
+    np.testing.assert_allclose(crit_out.detach().numpy(),
+                               np.asarray(want), rtol=1e-5)

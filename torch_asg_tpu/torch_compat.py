@@ -181,6 +181,44 @@ class _ASGLossFn(torch.autograd.Function):
         )
 
 
+def load_reference_transition(state_dict_or_path, prefix: str = ""):
+    """Extract the learned (N, N) transition matrix from a reference
+    checkpoint as float32 numpy — the migration hand-off for JAX users.
+
+    The reference stores it as the single ``nn.Parameter`` of its module
+    (``torch_asg/asg.py:105``), so its ``state_dict()`` key is
+    ``"transition"`` (optionally under a ``prefix`` like
+    ``"criterion."`` when the criterion was a submodule).  Accepts a
+    loaded mapping or a path for ``torch.load``.  Torch users don't need
+    this: ``torch_compat.ASGLoss`` registers the same parameter name, so
+    ``crit.load_state_dict(ref_state_dict)`` is already drop-in.
+
+    Use with the JAX front-ends::
+
+        trans = load_reference_transition("asg_checkpoint.pt")
+        crit = torch_asg_tpu.ASGLoss(transition=jnp.asarray(trans),
+                                     num_labels=trans.shape[0])
+    """
+    sd = state_dict_or_path
+    if not hasattr(sd, "keys"):
+        sd = torch.load(sd, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):  # a whole module was saved
+        sd = sd.state_dict()
+    key = prefix + "transition"
+    if key not in sd:
+        raise KeyError(
+            f"{key!r} not in checkpoint (keys: {sorted(sd.keys())[:10]}); "
+            f"pass prefix='<module path>.' if the criterion was nested."
+        )
+    t = sd[key]
+    if isinstance(t, torch.Tensor):
+        t = t.detach().cpu().float().numpy()
+    t = np.asarray(t, np.float32)
+    if t.ndim != 2 or t.shape[0] != t.shape[1]:
+        raise ValueError(f"transition must be square (N, N); got {t.shape}")
+    return t
+
+
 class ASGLoss(torch.nn.Module):
     """Reference-signature ASG criterion as a torch module on TPU kernels.
 
