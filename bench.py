@@ -480,8 +480,16 @@ def main():
     _mark("compile 10k chain")
     l_big, _ = bigf(big_trans, big_inputs)
     _mark("gate 10k strict")
+    # fresh function object, NOT jax.jit(big_chain): the trace cache is
+    # keyed on (callable identity, avals) ACROSS jit wrappers, so
+    # re-jitting big_chain itself would silently reuse the DEFAULT-
+    # precision executable and gate DEFAULT against DEFAULT (caught in
+    # round 5, scripts/exp_r5_bigvocab.py).  With the dual-stream kernel
+    # electing only under DEFAULT (ops/fcc.py::_resolve_dual), this gate
+    # now also cross-checks kernel-vs-scan formulations at 10k.
     with strict_chain_precision():
-        l_big_h, _ = jax.jit(big_chain)(big_trans, big_inputs)
+        l_big_h, _ = jax.jit(lambda a, b: big_chain(a, b))(
+            big_trans, big_inputs)
     big_ok = bool(np.allclose(float(l_big), float(l_big_h), rtol=1e-3))
     _mark("time 10k")
     s_big = stats_of(lambda i: bigf(big_trans, i), big_inputs, feedback,

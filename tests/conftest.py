@@ -37,6 +37,7 @@ _QUICK_MODULES = {
     "test_grads",
     "test_api",
     "test_fused",
+    "test_bigvocab",
 }
 
 # Heaviest individual fp64 gradchecks (10-18 s each on this one-core box),

@@ -32,6 +32,7 @@ TPU-first design decisions
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -231,24 +232,84 @@ def _beta_scan_mm(transition, inputs_m, input_lengths):
     return jnp.concatenate([rest[::-1], b_last[None]], axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fcc_mm_p(precision, transition, inputs, input_lengths):
+# --- dual-chain kernel dispatch -------------------------------------------
+# Under differentiation the matmul tier needs BOTH streams; running the
+# two scans separately re-reads the N^2 exp-transition matrix 2T times
+# (the measured 83%-of-bandwidth floor, docs/PERF_R2.md §3.4).  The
+# paired-step Pallas kernel (ops/pallas/bigvocab_kernels.py) streams it
+# T times, feeding each resident stripe to both contractions.  Compiled
+# TPU only: interpret mode would turn the production path into a Python
+# grid loop, and the XLA scans are the right CPU program; tests opt in
+# with force_dual_streams to pin kernel-vs-scan parity.
+_DUAL_OVERRIDE = None
+
+
+@contextlib.contextmanager
+def force_dual_streams(value: bool = True):
+    global _DUAL_OVERRIDE
+    prev = _DUAL_OVERRIDE
+    _DUAL_OVERRIDE = value
+    try:
+        yield
+    finally:
+        _DUAL_OVERRIDE = prev
+
+
+def _resolve_dual(t_total: int) -> bool:
+    """Elect the dual kernel for the matmul tier, OUTSIDE the custom_vjp.
+
+    The kernel carries the production DEFAULT-precision path only; under
+    Precision.HIGHEST (the strict fidelity gate) the fp32 stripes double
+    the working set past the scoped-VMEM budget at wordpiece scale, and
+    the scans ARE the reference formulation — so HIGHEST keeps them,
+    which also makes bench.py's strict 10k gate an independent-
+    formulation check of the kernel's output.
+
+    Resolved at fcc_score_matmul level and passed into _fcc_mm_p as a
+    static nondiff argument: JAX caches traced custom_vjp rules by
+    (function, avals, static args), so an election read INSIDE the fwd
+    rule can be silently reused across a force_dual_streams flip — the
+    round-5 experiment script caught exactly that.
+    """
+    use_dual = _DUAL_OVERRIDE
+    if use_dual is None:
+        from .pallas.common import use_interpret
+        from .semiring import chain_precision as _cp
+
+        use_dual = (
+            not use_interpret() and _cp() == jax.lax.Precision.DEFAULT
+        )
+    return bool(use_dual and t_total > 1)
+
+
+def _mm_streams(dual, transition, inputs_m, input_lengths):
+    """(alpha, beta) for the matmul tier: dual kernel on TPU, scans off."""
+    if dual:
+        from .pallas.bigvocab_kernels import fcc_dual_streams
+
+        return fcc_dual_streams(transition, inputs_m, input_lengths)
+    alpha = _alpha_scan_mm(transition, inputs_m)
+    beta = _beta_scan_mm(transition, inputs_m, input_lengths)
+    return alpha, beta
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fcc_mm_p(precision, dual, transition, inputs, input_lengths):
     with strict_chain_precision(precision):
         inputs_m = mask_emissions(inputs, input_lengths)
         beta = _beta_scan_mm(transition, inputs_m, input_lengths)
         return _score_from_beta(beta[0], inputs_m[0])
 
 
-def _fcc_mm_fwd(precision, transition, inputs, input_lengths):
+def _fcc_mm_fwd(precision, dual, transition, inputs, input_lengths):
     with strict_chain_precision(precision):
         inputs_m = mask_emissions(inputs, input_lengths)
-        alpha = _alpha_scan_mm(transition, inputs_m)
-        beta = _beta_scan_mm(transition, inputs_m, input_lengths)
+        alpha, beta = _mm_streams(dual, transition, inputs_m, input_lengths)
         score = _score_from_beta(beta[0], inputs_m[0])
     return score, (transition, inputs_m, alpha, beta)
 
 
-def _fcc_mm_bwd(precision, res, g):
+def _fcc_mm_bwd(precision, dual, res, g):
     # The context must wrap the bwd trace too: custom_vjp traces this
     # rule during the backward pass, typically after the caller's
     # strict_chain_precision context has already exited.
@@ -304,4 +365,5 @@ def fcc_score_matmul(
     chain matmul at the precision that was in force when the loss was
     traced (``asg_loss(precision=...)`` relies on this).
     """
-    return _fcc_mm_p(chain_precision(), transition, inputs, input_lengths)
+    return _fcc_mm_p(chain_precision(), _resolve_dual(inputs.shape[0]),
+                     transition, inputs, input_lengths)

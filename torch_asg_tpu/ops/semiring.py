@@ -39,7 +39,12 @@ def chain_precision():
 def strict_chain_precision(precision=jax.lax.Precision.HIGHEST):
     """Trace chain matmuls at ``precision`` (Mosaic supports DEFAULT and
     HIGHEST only).  Affects traces made inside the context: build and
-    call the jitted function within it."""
+    call the jitted function within it — and the callable must be a
+    FRESH object (a new lambda/closure).  The trace cache is keyed on
+    (callable identity, avals) ACROSS jit wrappers, so re-jitting a
+    function that was already traced outside the context silently
+    reuses the old executable and the override never applies (bench.py's
+    10k strict gate was vacuous for this reason until round 5)."""
     global _PRECISION_OVERRIDE
     prev = _PRECISION_OVERRIDE
     _PRECISION_OVERRIDE = precision
